@@ -1,0 +1,117 @@
+"""Host-side batching loader with threaded reads and device prefetch.
+
+Replaces torch ``DataLoader`` (+ ``DistributedSampler``) from the reference
+(``data/datamodule.py:96-166``) with a TPU-native pipeline:
+
+- a worker thread pool reads HDF5 windows (I/O releases the GIL),
+- batches are collated to pinned numpy and pushed onto a bounded queue by a
+  background producer (prefetch depth >= 2 keeps the TPU busy),
+- ``jax.device_put`` with an optional ``NamedSharding`` places each batch;
+  under a data-parallel mesh the batch axis is sharded across devices,
+  replacing rank-sharded sampling (per-host loading: each host loads its own
+  shard of the global batch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 2,
+        sharding: Optional[Any] = None,
+        epoch: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self.sharding = sharding
+        self._epoch = epoch
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (DistributedSampler.set_epoch parity)."""
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                continue
+            batches.append(idx)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        batches = self._batch_indices()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def collate(idx) -> Dict[str, np.ndarray]:
+            items = list(self._pool.map(self.dataset.__getitem__, idx))
+            return {
+                k: np.stack([it[k] for it in items], axis=0) for k in items[0]
+            }
+
+        def producer():
+            try:
+                for idx in batches:
+                    if stop.is_set():
+                        break
+                    batch_np = collate(idx)
+                    batch = {
+                        k: jax.device_put(v, self.sharding)
+                        if self.sharding is not None
+                        else jax.device_put(v)
+                        for k, v in batch_np.items()
+                    }
+                    out_q.put(batch)
+            finally:
+                out_q.put(None)
+
+        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can finish and the pool can be reclaimed.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            self._pool.shutdown(wait=False)

@@ -1,0 +1,123 @@
+"""Axial-attention transformer backbone (reference ``models/attn_backbone.py``).
+
+Input/output: ``(B, T, H, W, C)`` latent patch grids.  First three residual
+"propagator" MLPs mix along the H, W and T axes (Linear over that axis);
+then one ``TransformerBlock`` per axis character, with the tensor reshaped so
+attention runs along:
+
+  T  time, causal, per pixel            H/W  rows / columns
+  L  H*W spatial tokens per frame       Y/X  (T*H) / (T*W) space-time planes
+  A  full T*H*W joint attention         C    channel attention via scalar lift
+
+Axial factorization is the reference's (and this framework's) primary
+long-sequence lever: per-call token counts stay bounded by
+max(T, H_p, W_p, H_p*W_p) — sequence parallelism is unnecessary at these
+sizes, and each attention call is a dense batched matmul for the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from einops import rearrange
+
+from tante_tpu.models.common import Mlp, TorchDense, TransformerBlock
+
+
+class AxisPropagator(nn.Module):
+    """Residual Linear-GELU-Linear applied along a chosen axis."""
+
+    axis_size: int
+    axis: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        moved = jnp.moveaxis(x, self.axis, -1)
+        y = TorchDense(self.axis_size, dtype=self.dtype)(moved)
+        y = nn.gelu(y, approximate=False)
+        y = TorchDense(self.axis_size, dtype=self.dtype)(y)
+        return x + jnp.moveaxis(y, -1, self.axis)
+
+
+class AttnBackbone(nn.Module):
+    tensor_shape: Tuple[int, int, int, int]  # (T, H, W, C)
+    attn_axes: str = "L TT TT TT L"
+    expanded_channel: int = 128
+    n_head: int = 8
+    mlp_ratio: float = 1.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        t, h, w, c = self.tensor_shape
+        axes = self.attn_axes.replace(" ", "")
+        if axes == "":
+            raise ValueError("Invalid block: empty segment.")
+        b = x.shape[0]
+
+        # Propagators mix along H, W, then T (attn_backbone.py:140-146).
+        x = AxisPropagator(h, axis=2, dtype=self.dtype, name="vertical_propagator")(x)
+        x = AxisPropagator(w, axis=3, dtype=self.dtype, name="horizontal_propagator")(x)
+        x = AxisPropagator(t, axis=1, dtype=self.dtype, name="temporal_propagator")(x)
+
+        channel_index = 0
+        for i, axis in enumerate(axes):
+            embed_dim = self.expanded_channel if axis == "C" else c
+            block = TransformerBlock(
+                embed_dim=embed_dim,
+                n_head=self.n_head,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )
+            if axis == "T":
+                y = rearrange(x, "b t h w c -> (b h w) t c")
+                y = block(y, causal=True, deterministic=deterministic)
+                x = rearrange(y, "(b h w) t c -> b t h w c", b=b, h=h, w=w)
+            elif axis == "H":
+                y = rearrange(x, "b t h w c -> (b t w) h c")
+                y = block(y, deterministic=deterministic)
+                x = rearrange(y, "(b t w) h c -> b t h w c", b=b, t=t, w=w)
+            elif axis == "W":
+                y = rearrange(x, "b t h w c -> (b t h) w c")
+                y = block(y, deterministic=deterministic)
+                x = rearrange(y, "(b t h) w c -> b t h w c", b=b, t=t, h=h)
+            elif axis == "L":
+                y = rearrange(x, "b t h w c -> (b t) (h w) c")
+                y = block(y, deterministic=deterministic)
+                x = rearrange(y, "(b t) (h w) c -> b t h w c", b=b, h=h, w=w)
+            elif axis == "Y":
+                y = rearrange(x, "b t h w c -> (b w) (t h) c")
+                y = block(y, deterministic=deterministic)
+                x = rearrange(y, "(b w) (t h) c -> b t h w c", b=b, t=t, h=h)
+            elif axis == "X":
+                y = rearrange(x, "b t h w c -> (b h) (t w) c")
+                y = block(y, deterministic=deterministic)
+                x = rearrange(y, "(b h) (t w) c -> b t h w c", b=b, t=t, w=w)
+            elif axis == "A":
+                y = rearrange(x, "b t h w c -> b (t h w) c")
+                y = block(y, deterministic=deterministic)
+                x = rearrange(y, "b (t h w) c -> b t h w c", t=t, h=h, w=w)
+            elif axis == "C":
+                # Channel attention: lift each scalar channel value to an
+                # expanded embedding, attend across channels, take the last
+                # feature (attn_backbone.py:184-189).
+                y = rearrange(x, "b t h w c -> (b t h w) c 1")
+                y = Mlp(
+                    hidden_features=embed_dim // 4,
+                    out_features=embed_dim,
+                    approximate_gelu=False,
+                    dtype=self.dtype,
+                    name=f"channel_lift_{channel_index}",
+                )(y)
+                channel_index += 1
+                y = block(y, deterministic=deterministic)[..., -1]
+                x = rearrange(y, "(b t h w) c -> b t h w c", b=b, t=t, h=h, w=w)
+            else:
+                raise ValueError(f"Invalid attention axis '{axis}'")
+        return x

@@ -1,0 +1,184 @@
+"""Shared model building blocks (flax linen, channels-last).
+
+Covers the reference's shared-module surface: ``TransformerBlock``
+(``models/attn_backbone.py:38-83``), FiLM conditioning
+(``models/tante.py:203-230``), sincos position embeddings and the relative
+time series (``models/tante.py:232-285``), plus a torch-default Dense/MLP.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from tante_tpu.ops.attention import MultiheadAttention
+from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch ``nn.Linear`` default initialization."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(x.shape[-1]),
+            dtype=self.dtype,
+        )(x)
+
+
+class Mlp(nn.Module):
+    """Linear -> act -> Linear (act defaults to tanh-GELU, "NewGELU")."""
+
+    hidden_features: int
+    out_features: int
+    approximate_gelu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = TorchDense(self.hidden_features, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=self.approximate_gelu)
+        x = TorchDense(self.out_features, dtype=self.dtype)(x)
+        return x
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block: LN -> MHA -> +res, LN -> MLP -> +res."""
+
+    embed_dim: int
+    n_head: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        qkv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
+        y = MultiheadAttention(
+            embed_dim=self.embed_dim,
+            num_heads=self.n_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(qkv, causal=causal, deterministic=deterministic)
+        y = nn.Dropout(rate=self.dropout)(y, deterministic=deterministic)
+        x = x + y
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
+        z = Mlp(
+            hidden_features=int(self.embed_dim * self.mlp_ratio),
+            out_features=self.embed_dim,
+            dtype=self.dtype,
+            name="mlp",
+        )(z)
+        z = nn.Dropout(rate=self.dropout)(z, deterministic=deterministic)
+        return x + z
+
+
+class Film(nn.Module):
+    """FiLM conditioning: ``x + (x * scale(t) + shift(t))``.
+
+    Two ReLU MLPs map a scalar condition to per-channel scale/shift
+    (reference ``models/tante.py:203-230``).  Handles token tensors
+    ``(B, L, C)`` with condition ``(B,)`` and grid tensors
+    ``(B, T, H, W, C)`` with condition ``(T,)``.
+    """
+
+    h_dim: int
+    in_dim: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        def mlp(name):
+            return nn.Sequential(
+                [
+                    TorchDense(self.h_dim // 2, dtype=self.dtype),
+                    nn.relu,
+                    TorchDense(self.h_dim, dtype=self.dtype),
+                ]
+            )
+
+        cond = t[..., None].astype(x.dtype)  # (..., 1)
+        scale = mlp("scale")(cond)
+        shift = mlp("shift")(cond)
+        if x.ndim == 3:  # (B, L, C), cond (B, C)
+            scale = scale[:, None, :]
+            shift = shift[:, None, :]
+        elif x.ndim == 5:  # (B, T, H, W, C), cond (T, C)
+            scale = scale[None, :, None, None, :]
+            shift = shift[None, :, None, None, :]
+        return x + (x * scale + shift)
+
+
+# --------------------------------------------------------------------------
+# Position embeddings (reference models/tante.py:232-278)
+# --------------------------------------------------------------------------
+
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000**omega
+    pos = np.asarray(pos, dtype=np.float64).reshape(-1)
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
+
+
+def get_1d_sincos_pos_embed(embed_dim: int, length: int) -> np.ndarray:
+    return get_1d_sincos_pos_embed_from_grid(embed_dim, np.arange(length))[None]
+
+
+def get_2d_sincos_pos_embed(
+    embed_dim: int, grid_size: Sequence[int], *, flatten: bool = False
+) -> np.ndarray:
+    """flatten=False -> (1, H, W, D); flatten=True -> (1, H*W, D).
+
+    Reproduces the reference construction (models/tante.py:251-276) exactly,
+    including its quirk: the (W, H)-shaped meshgrid is *reshaped* (not
+    transposed) to (H, W), so for non-square grids the pattern stripes
+    diagonally.  This is only an initialization for a learned parameter, but
+    parity is free.
+    """
+    h, w = grid_size
+    mesh_w, mesh_h = np.meshgrid(
+        np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64), indexing="ij"
+    )  # (W, H) each
+    grid = np.stack([mesh_h, mesh_w], axis=0).reshape(2, 1, h, w)
+    emb_h = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[0])
+    emb_w = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[1])
+    pos = np.concatenate([emb_h, emb_w], axis=1)  # (H*W, D)
+    if flatten:
+        return pos[None]
+    return pos.reshape(h, w, embed_dim)[None]
+
+
+def t_series(in_t: int, frame_interval: float) -> np.ndarray:
+    """Relative time sequence fed to the FiLM time encoder.
+
+    Reproduces reference ``t_series`` (models/tante.py:279-285) exactly,
+    including its quirk: for T=4 the sequence is [-2d, -d, 0, 0] (the list
+    starts at 0.0 and appends -i*d for i in 0..T-2 before reversing).
+    """
+    seq = [0.0] + [-i * frame_interval for i in range(in_t - 1)]
+    seq.reverse()
+    return np.asarray(seq, dtype=np.float32)
+
+
+t_emb_init = get_1d_sincos_pos_embed
+s_emb_init = get_2d_sincos_pos_embed

@@ -1,0 +1,71 @@
+"""CNN encoder/decoder pyramids for TANTE (channels-last).
+
+TPU-native re-design of reference ``models/enc_dec_cnn.py:187-277``: a
+3-stage strided-conv pyramid whose per-stage patch sizes come from
+``PATCH_MAP[patch_scale]``; frames are folded into the batch axis so every
+conv is one large NHWC convolution on the MXU.
+
+Shape contract: encoder (B, T, H, W, C_in) -> (B, T, H_p, W_p, C_embed);
+decoder mirrors back.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tante_tpu.data.dataset import TanteMetadata
+from tante_tpu.ops.convs import RealConv2d, RealTransConv2d
+
+# patch_scale -> per-stage patch sizes (reference enc_dec_cnn.py:39-46).
+PATCH_MAP = {
+    64: (4, 4, 4),
+    32: (4, 4, 2),
+    16: (4, 2, 2),
+    8: (2, 2, 2),
+    4: (2, 2, 1),
+    2: (2, 1, 1),
+}
+
+
+class EncCNN(nn.Module):
+    dset_metadata: Optional[TanteMetadata] = None
+    embed_dim: int = 256
+    patch_scale: int = 64
+    overlap_ratio: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = PATCH_MAP[self.patch_scale]
+        b, t = x.shape[0], x.shape[1]
+        z = x.reshape(b * t, *x.shape[2:])  # (B*T, H, W, C)
+        z = RealConv2d(self.embed_dim // 4, p[0], self.overlap_ratio, dtype=self.dtype)(z)
+        z = nn.gelu(z, approximate=False)
+        z = RealConv2d(self.embed_dim // 2, p[1], self.overlap_ratio, dtype=self.dtype)(z)
+        z = nn.gelu(z, approximate=False)
+        z = RealConv2d(self.embed_dim, p[2], self.overlap_ratio, dtype=self.dtype)(z)
+        return z.reshape(b, t, *z.shape[1:])  # (B, T, H_p, W_p, C)
+
+
+class DecCNN(nn.Module):
+    dset_metadata: Optional[TanteMetadata] = None
+    embed_dim: int = 256
+    patch_scale: int = 64
+    overlap_ratio: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = PATCH_MAP[self.patch_scale]
+        out_channels = self.dset_metadata.n_fields if self.dset_metadata else 4
+        b, t = x.shape[0], x.shape[1]
+        z = x.reshape(b * t, *x.shape[2:])  # (B*T, H_p, W_p, C)
+        z = RealTransConv2d(self.embed_dim // 2, p[2], self.overlap_ratio, dtype=self.dtype)(z)
+        z = nn.gelu(z, approximate=False)
+        z = RealTransConv2d(self.embed_dim // 4, p[1], self.overlap_ratio, dtype=self.dtype)(z)
+        z = nn.gelu(z, approximate=False)
+        z = RealTransConv2d(out_channels, p[0], self.overlap_ratio, dtype=self.dtype)(z)
+        return z.reshape(b, t, *z.shape[1:])  # (B, T, H, W, C_out)

@@ -1,0 +1,106 @@
+"""FNO baseline (native JAX; replaces the reference's neuralop dependency).
+
+The reference model (``models/fno.py:63-106``) folds the T input frames into
+channels, runs ``neuralop.models.FNO`` and emits one frame.  neuralop is a
+third-party torch package, so the operator itself is re-implemented here in
+the same architecture family and parameter count:
+
+  lifting: 1x1 MLP C_in -> 2h -> h
+  n_layers x [centered-mode spectral conv + linear 1x1 skip, gelu,
+              channel MLP (h -> h/2 -> h) + soft-gating skip, gelu*]
+  projection: 1x1 MLP h -> 2h -> C_out          (*no gelu after last block)
+
+Channels-last; every 1x1 conv is a Dense over the channel axis (one MXU
+matmul over B*H*W rows).  ``gradient_checkpointing`` remats each block
+(reference exposes the same flag, ``models/fno.py:72``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tante_tpu.data.dataset import TanteMetadata
+from tante_tpu.models.common import TorchDense
+from tante_tpu.ops.initializers import complex_spectral_init
+from tante_tpu.ops.spectral import spectral_conv2d_centered
+
+
+class SoftGate(nn.Module):
+    """Per-channel learned scale + bias (neuralop's 'soft-gating' skip)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        return x * w + b
+
+
+class FNOBlock(nn.Module):
+    hidden: int
+    modes1: int
+    modes2: int
+    last: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        m2r = self.modes2 // 2 + 1
+        weight = self.param(
+            "spectral_weight",
+            complex_spectral_init(self.hidden, self.hidden),
+            (self.hidden, self.hidden, self.modes1, m2r, 2),
+        )
+        y = spectral_conv2d_centered(
+            x.astype(jnp.float32), weight, self.modes1, self.modes2
+        ).astype(x.dtype)
+        y = y + TorchDense(self.hidden, dtype=self.dtype)(x)  # linear fno skip
+        y = nn.gelu(y, approximate=False)
+        z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)
+        z = nn.gelu(z, approximate=False)
+        z = TorchDense(self.hidden, dtype=self.dtype)(z)
+        y = z + SoftGate()(y)
+        if not self.last:
+            y = nn.gelu(y, approximate=False)
+        return y
+
+
+class FNO(nn.Module):
+    in_T: int
+    dset_metadata: Optional[TanteMetadata] = None
+    modes1: int = 16
+    modes2: int = 16
+    modes3: int = 16
+    hidden_channels: int = 64
+    n_layers: int = 4
+    gradient_checkpointing: bool = False
+    output_length: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """(B, T, H, W, C) -> (B, 1, H, W, C)."""
+        b, t, h, w, c = x.shape
+        z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)  # fold T into channels
+        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
+        z = nn.gelu(z, approximate=False)
+        z = TorchDense(self.hidden_channels, dtype=self.dtype)(z)
+        block_cls = FNOBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(FNOBlock)
+        for i in range(self.n_layers):
+            z = block_cls(
+                hidden=self.hidden_channels,
+                modes1=self.modes1,
+                modes2=self.modes2,
+                last=(i == self.n_layers - 1),
+                dtype=self.dtype,
+            )(z)
+        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
+        z = nn.gelu(z, approximate=False)
+        z = TorchDense(c, dtype=self.dtype)(z)
+        return z[:, None]  # (B, 1, H, W, C)

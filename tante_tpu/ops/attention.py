@@ -1,0 +1,87 @@
+"""Multi-head attention (flax), torch-``nn.MultiheadAttention`` semantics.
+
+Used by the axial backbone (reference ``models/attn_backbone.py:48``) and the
+CViT/AViT blocks.  Joint QKV projection with xavier-uniform init and zero
+bias (torch MHA defaults), scaled dot-product attention, optional causal
+masking, attention-weight dropout, output projection.
+
+The sequence lengths in this framework are small-to-moderate (axial
+factorization bounds them to max(T, H_p, W_p, H_p*W_p)); XLA's fused
+attention is efficient here.  ``tante_tpu.ops.pallas_attention`` provides a
+flash-attention Pallas kernel used automatically for long sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tante_tpu.ops.initializers import torch_kernel_init, torch_xavier_init
+
+
+class MultiheadAttention(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        q_in: jnp.ndarray,
+        k_in: Optional[jnp.ndarray] = None,
+        v_in: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """(B, L, C) -> (B, L, C); cross-attention when k_in/v_in differ."""
+        k_in = q_in if k_in is None else k_in
+        v_in = k_in if v_in is None else v_in
+        c, h = self.embed_dim, self.num_heads
+        head_dim = c // h
+        assert c % h == 0, "embed_dim must be divisible by num_heads"
+
+        dense = lambda name: nn.Dense(
+            c,
+            use_bias=self.use_bias,
+            kernel_init=torch_xavier_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name=name,
+        )
+        q = dense("q_proj")(q_in)
+        k = dense("k_proj")(k_in)
+        v = dense("v_proj")(v_in)
+
+        def split(x):
+            return x.reshape(*x.shape[:-1], h, head_dim)
+
+        q, k, v = split(q), split(k), split(v)  # (B, L, H, D)
+
+        scale = head_dim**-0.5
+        logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        if causal:
+            lq, lk = logits.shape[-2], logits.shape[-1]
+            mask = jnp.tril(jnp.ones((lq, lk), dtype=bool))
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
+        out = out.reshape(*out.shape[:-2], c)
+        out = nn.Dense(
+            c,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="out_proj",
+        )(out)
+        return out

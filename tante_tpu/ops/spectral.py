@@ -1,0 +1,128 @@
+"""Spectral (Fourier) convolution ops, channels-last.
+
+The core FNO primitive (reference math at ``models/enc_dec_fno.py:184-222``):
+rfft2 (ortho) -> complex channel-mixing on a truncated mode corner (top +
+bottom rows, low columns) -> irfft2, plus a 1x1 conv residual.
+
+TPU notes: XLA lowers the complex einsum to real MXU matmuls; the mode
+truncation keeps the contraction batched over at most ``2*m1*m2`` modes.
+Weights are stored as a real array with a trailing [re, im] axis so optax
+treats them as ordinary parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+
+
+def spectral_conv2d(
+    x: jnp.ndarray, weight: jnp.ndarray, modes1: int, modes2: int
+) -> jnp.ndarray:
+    """Truncated-mode spectral convolution.
+
+    x: (B, H, W, Cin) real; weight: (Cin, Cout, m1, m2, 2) real ([re, im]).
+    Returns (B, H, W, Cout) real.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")  # (B, H, Wf, Cin)
+    wf = x_ft.shape[-2]
+    m1 = min(modes1, h)
+    m2 = min(modes2, wf)
+    if m1 == 0 or m2 == 0:
+        y_ft = jnp.zeros((*x.shape[:-1], weight.shape[1]), dtype=x_ft.dtype)
+        return jnp.fft.irfft2(y_ft, s=(h, w), axes=(-3, -2), norm="ortho")
+
+    w_c = (weight[..., 0] + 1j * weight[..., 1])[:, :, :m1, :m2]  # (Cin,Cout,m1,m2)
+
+    top = x_ft[:, :m1, :m2, :]  # (B, m1, m2, Cin)
+    bot = x_ft[:, -m1:, :m2, :]
+    out_top = jnp.einsum("bijc,coij->bijo", top, w_c)
+    out_bot = jnp.einsum("bijc,coij->bijo", bot, w_c)
+
+    c_out = weight.shape[1]
+    y_ft = jnp.zeros((x.shape[0], h, wf, c_out), dtype=x_ft.dtype)
+    y_ft = y_ft.at[:, :m1, :m2, :].set(out_top)
+    y_ft = y_ft.at[:, -m1:, :m2, :].set(out_bot)
+    return jnp.fft.irfft2(y_ft, s=(h, w), axes=(-3, -2), norm="ortho")
+
+
+def spectral_conv2d_centered(
+    x: jnp.ndarray, weight: jnp.ndarray, modes1: int, modes2: int
+) -> jnp.ndarray:
+    """Centered-mode spectral convolution (neuralop-style mode selection).
+
+    Keeps the ``ceil(m1/2)`` lowest positive and ``floor(m1/2)`` lowest
+    negative H-frequencies and the first ``m2r = m2//2 + 1`` rfft columns,
+    with ONE weight tensor covering all kept modes (total ``m1 * m2r``),
+    matching the parameter count of ``neuralop.models.FNO`` (the reference's
+    backend, ``models/fno.py:4,94-100``).
+
+    x: (B, H, W, Cin); weight: (Cin, Cout, m1, m2r, 2). Returns (B, H, W, Cout).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")
+    wf = x_ft.shape[-2]
+    m1 = min(modes1, h)
+    m2r = min(modes2 // 2 + 1, wf)
+    m1_pos = (m1 + 1) // 2
+    m1_neg = m1 - m1_pos
+
+    w_c = weight[..., 0] + 1j * weight[..., 1]  # (Cin, Cout, m1, m2r_full)
+    w_c = w_c[:, :, :, :m2r]
+    c_out = weight.shape[1]
+    y_ft = jnp.zeros((x.shape[0], h, wf, c_out), dtype=x_ft.dtype)
+
+    top = x_ft[:, :m1_pos, :m2r, :]
+    y_ft = y_ft.at[:, :m1_pos, :m2r, :].set(
+        jnp.einsum("bijc,coij->bijo", top, w_c[:, :, :m1_pos])
+    )
+    if m1_neg > 0:
+        bot = x_ft[:, -m1_neg:, :m2r, :]
+        y_ft = y_ft.at[:, -m1_neg:, :m2r, :].set(
+            jnp.einsum("bijc,coij->bijo", bot, w_c[:, :, m1_pos:])
+        )
+    return jnp.fft.irfft2(y_ft, s=(h, w), axes=(-3, -2), norm="ortho")
+
+
+class SpectralLayer(nn.Module):
+    """Spectral conv + 1x1 conv residual (reference ``SpectralLayer``)."""
+
+    in_channels: int
+    out_channels: int
+    modes1: int
+    modes2: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.shape[-1] == self.in_channels
+        scale = 1.0 / (self.in_channels * self.out_channels) ** 0.5
+
+        def w_init(key, shape, dtype=jnp.float32):
+            import jax
+
+            # complex-normal with unit total variance, scaled (matches
+            # torch.randn(cfloat) * scale at enc_dec_fno.py:191-194).
+            return jax.random.normal(key, shape, dtype) * (scale / 2**0.5)
+
+        weight = self.param(
+            "weight",
+            w_init,
+            (self.in_channels, self.out_channels, self.modes1, self.modes2, 2),
+        )
+        y = spectral_conv2d(x.astype(jnp.float32), weight, self.modes1, self.modes2)
+        s = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(1, 1),
+            use_bias=True,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(self.in_channels),
+            dtype=self.dtype,
+            name="w0",
+        )(x)
+        return s + y.astype(s.dtype)

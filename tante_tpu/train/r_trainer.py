@@ -1,0 +1,143 @@
+"""Time-adaptive trainer (reference ``trainer/r_trainer.py:43-231``).
+
+Differences from ``Trainer`` (all mirrored from the reference):
+- model called with ``out_T = 1.5`` during training so each call emits one
+  frame while the confidence head still learns a continuous r_t
+  (``r_trainer.py:123``),
+- loss adds the r_t band penalty:
+  ``train_loss_fn(y_pred, y_ref, Rts, rt_eps, rt_n)`` (``r_trainer.py:150``),
+- gradient clipping is value-clip at 1.0 instead of global-norm
+  (``r_trainer.py:155``),
+- logs rt / rt_var / steps per epoch, appends mean r_t to ``saved_rt.txt``
+  at validation (``r_trainer.py:163-175,199-204``).
+
+TPU improvement over the reference: the per-sample batch-of-1 Python loop
+(``r_trainer.py:118``) is replaced by one vectorized scan over the whole
+batch — identical math because every training call emits exactly one frame.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tante_tpu.train.rollout import rollout_adaptive_eval, rollout_adaptive_train
+from tante_tpu.train.trainer import Trainer
+
+TRAIN_OUT_T = 1.5  # caps r_t in (1.001, 1.501) -> one frame per call
+
+
+class R_Trainer(Trainer):
+    def __init__(self, *args: Any, **kwargs: Any):
+        kwargs.setdefault("grad_clip", "value")
+        kwargs.setdefault("n_steps_output", 4)
+        super().__init__(*args, **kwargs)
+
+    def _apply_adaptive(self, params, x, out_T, deterministic, rngs=None):
+        return self.model.apply(
+            params, x, out_T, deterministic=deterministic, rngs=rngs
+        )
+
+    def _build_train_step(self):
+        n_steps = self.n_steps_output
+        loss_metric = self.train_loss_fn
+        rt_eps, rt_n = self.rt_eps, self.rt_n
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, x, y, dropout_key):
+            def loss_fn(p):
+                y_pred, rts = rollout_adaptive_train(
+                    lambda w: self._apply_adaptive(
+                        p,
+                        w,
+                        TRAIN_OUT_T,
+                        deterministic=False,
+                        rngs={"dropout": dropout_key},
+                    ),
+                    x,
+                    n_steps,
+                )
+                loss = loss_metric(y_pred.astype(y.dtype), y, rts, rt_eps, rt_n)
+                return loss, rts
+
+            (loss, rts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            rt_avg = jnp.mean(rts)
+            rt_var = jnp.std(rts, ddof=1)
+            return params, opt_state, loss, rt_avg, rt_var
+
+        return train_step
+
+    def _build_eval_step(self):
+        n_steps = self.n_steps_rollout
+        loss_metric = self.eval_loss_fn
+
+        @jax.jit
+        def eval_step(params, x, y):
+            y_pred, rt_log, n_calls = rollout_adaptive_eval(
+                lambda w: self._apply_adaptive(
+                    params, w, float(n_steps), deterministic=True
+                ),
+                x,
+                n_steps,
+            )
+            loss = jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
+            return loss, rt_log, n_calls
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, epoch: int, dataloader):
+        epoch_loss = 0.0
+        n_batches = max(1, len(dataloader))
+        rts, rt_vars, steps = [], [], []
+        start = time.time()
+        for batch in dataloader:
+            (x,), y = self.formatter.process_input(batch)
+            self.params, self.opt_state, loss, rt_avg, rt_var = self._train_step(
+                self.params, self.opt_state, x, y, self._next_dropout_key()
+            )
+            self.global_step += 1
+            epoch_loss += float(loss) / n_batches
+            rts.append(float(rt_avg))
+            rt_vars.append(float(rt_var))
+            # "steps" statistic: model calls per 4 target frames (reference
+            # r_trainer.py:166 logs len(Rts)/4 for a batch-of-1 loop; here
+            # every sample uses n_steps_output calls by construction).
+            steps.append(self.n_steps_output * x.shape[0] / 4)
+        logs = {
+            "time_per_train_iter": (time.time() - start) / n_batches,
+            "train_loss": epoch_loss,
+            "rt": sum(rts) / max(1, len(rts)),
+            "rt_var": sum(rt_vars) / max(1, len(rt_vars)),
+            "steps": sum(steps) / max(1, len(steps)),
+            "lr": float(self.lr_schedule(self.global_step))
+            if callable(self.lr_schedule)
+            else self.lr_schedule,
+        }
+        return epoch_loss, logs
+
+    def validation_loop(self, dataloader, epoch: int = 0) -> float:
+        total = 0.0
+        rt_values = []
+        n_batches = max(1, len(dataloader))
+        for batch in dataloader:
+            (x,), y = self.formatter.process_input(batch)
+            loss, rt_log, n_calls = self._eval_step(self.params, x, y)
+            total += float(loss)
+            rt_np = np.asarray(rt_log)
+            rt_values.extend(rt_np[~np.isnan(rt_np)].tolist())
+        val_loss = total / n_batches
+        self.metric_logger.append_scalar_file("saved_loss.txt", val_loss)
+        if rt_values:
+            self.metric_logger.append_scalar_file(
+                "saved_rt.txt", sum(rt_values) / len(rt_values)
+            )
+        return val_loss

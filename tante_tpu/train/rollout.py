@@ -1,0 +1,122 @@
+"""Compiled autoregressive rollout engines.
+
+The reference's Python ``while cumulative < n_steps`` window-slide loops
+(``trainer/trainer.py:144-159``, ``trainer/r_trainer.py:112-133``,
+``trainer/r_evaler.py:87-105``) become three compiled control-flow shapes:
+
+1. ``rollout_fixed`` — ``lax.scan`` over ceil(n_steps / chunk) model calls;
+   the carry is the T-frame input window, shifted by ``chunk`` per call.
+
+2. ``rollout_adaptive_train`` — the adaptive trainer calls the model with
+   ``out_T = 1.5`` so each call emits exactly ONE frame while r_t still trains
+   (reference ``r_trainer.py:123``); that makes the train rollout a static
+   scan of ``n_steps`` single-frame calls.  Unlike the reference's
+   per-sample batch-of-1 Python loop (``r_trainer.py:118``, "TODO: Case
+   batch size > 1"), this runs the WHOLE batch vectorized — mathematically
+   identical because every sample emits exactly one frame per call.
+
+3. ``rollout_adaptive_eval`` — ``lax.while_loop``: each iteration runs the
+   model once, gets ``n_steps`` Taylor frames + r_t, consumes
+   ``floor(r_t[0])`` of them (batch-wide, matching reference
+   ``models/tante.py:163``), scatters them into the output buffer with a
+   masked gather, and dynamic-slices the window forward.  Shapes stay
+   static; fewer model calls genuinely happen when r_t is large (the
+   adaptive-efficiency claim carries over to TPU).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+
+def rollout_fixed(
+    apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    window: jnp.ndarray,
+    n_steps: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """Fixed-step rollout: model emits ``chunk`` frames per call.
+
+    window: (B, T, H, W, C). Returns (B, n_steps, H, W, C).
+    """
+    t_in = window.shape[1]
+    n_calls = math.ceil(n_steps / chunk)
+
+    def body(win, _):
+        y = apply_fn(win)
+        new_win = jnp.concatenate([win, y], axis=1)[:, -t_in:]
+        return new_win, y
+
+    _, ys = jax.lax.scan(body, window, None, length=n_calls)
+    y_pred = rearrange(ys, "s b k ... -> b (s k) ...")
+    return y_pred[:, :n_steps]
+
+
+def rollout_adaptive_train(
+    apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    window: jnp.ndarray,
+    n_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Adaptive training rollout: one frame per call, r_t collected.
+
+    apply_fn: window -> (frames (B, 1, ...), rt (B,)).
+    Returns (y_pred (B, n_steps, ...), rts (n_steps, B)).
+    """
+    t_in = window.shape[1]
+
+    def body(win, _):
+        frames, rt = apply_fn(win)
+        new_win = jnp.concatenate([win, frames], axis=1)[:, -t_in:]
+        return new_win, (frames, rt)
+
+    _, (frames_seq, rts) = jax.lax.scan(body, window, None, length=n_steps)
+    y_pred = rearrange(frames_seq, "s b k ... -> b (s k) ...")
+    return y_pred[:, :n_steps], rts
+
+
+def rollout_adaptive_eval(
+    apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    window: jnp.ndarray,
+    n_steps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Adaptive eval rollout: the model emits floor(r_t) frames per call.
+
+    apply_fn: window -> (frames (B, n_steps, ...), rt (B,)).
+    Returns (y_pred (B, n_steps, ...), rt_per_call (n_steps,) padded with
+    NaN beyond the realized calls, n_calls scalar int32).
+    """
+    t_in = window.shape[1]
+    b = window.shape[0]
+    out0 = jnp.zeros((b, n_steps) + window.shape[2:], dtype=window.dtype)
+    rt_log0 = jnp.full((n_steps,), jnp.nan, dtype=jnp.float32)
+
+    def cond(carry):
+        _, _, cum, _, _ = carry
+        return cum < n_steps
+
+    def body(carry):
+        win, out, cum, rt_log, n_calls = carry
+        frames, rt = apply_fn(win)
+        emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, n_steps)
+        # Scatter frames[:, :emit] into out[:, cum:cum+emit] via masked gather.
+        tpos = jnp.arange(n_steps)
+        rel = tpos - cum
+        use = (rel >= 0) & (rel < emit)
+        gathered = jnp.take(frames, jnp.clip(rel, 0, n_steps - 1), axis=1)
+        mask = use.reshape((1, n_steps) + (1,) * (out.ndim - 2))
+        out = jnp.where(mask, gathered, out)
+        # Slide window: concat(window, frames)[:, emit : emit + T].
+        cat = jnp.concatenate([win, frames], axis=1)
+        win = jax.lax.dynamic_slice_in_dim(cat, emit, t_in, axis=1)
+        rt_log = rt_log.at[n_calls].set(jnp.mean(rt))
+        return win, out, cum + emit, rt_log, n_calls + 1
+
+    _, out, _, rt_log, n_calls = jax.lax.while_loop(
+        cond, body, (window, out0, jnp.int32(0), rt_log0, jnp.int32(0))
+    )
+    return out, rt_log, n_calls

@@ -1,0 +1,330 @@
+"""Fixed-step Trainer (reference ``trainer/trainer.py:72-256`` capabilities).
+
+Everything inside one epoch is a single jitted, donated ``train_step``:
+scan rollout -> loss -> grad -> global-norm clip (1.0) -> AdamW update.
+bf16 "AMP" is native mixed precision: activations in bfloat16 via the model
+``dtype`` while parameters/optimizer state stay float32 — no GradScaler
+(reference ``trainer/trainer.py:102-105`` disables it for bf16 too).
+
+Per-epoch behaviors mirrored: LR staircase per epoch, save "recent" every
+epoch + "best" on val improvement, ``saved_loss.txt`` appends, wandb-style
+scalars {time_per_train_iter, train_loss, lr, valid}.  One reference bug is
+fixed rather than ported: ``Trainer`` there never updates ``best_val_loss``
+(``trainer/trainer.py:254-255``), so "best" was overwritten every epoch;
+here best tracking works (as the reference's own ``R_Trainer`` does at
+``r_trainer.py:230``).
+
+CViT branch (reference ``trainer/trainer.py:36-69,161-172``): training
+samples ``num_query_points`` random grid sites per batch and computes the
+loss on those points only; coordinates are drawn host-side per batch and
+passed into the jitted step (static shapes).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tante_tpu.data.datamodule import AbstractDataModule, get_formatter
+from tante_tpu.train.rollout import rollout_fixed
+from tante_tpu.utils.checkpoint import CheckpointManager
+from tante_tpu.utils.logging import MetricLogger
+
+logger = logging.getLogger(__name__)
+
+
+def sample_query_coords(rng: np.random.Generator, h: int, w: int, m: int):
+    """Random query sites for CViT training (reference trainer.py:36-49)."""
+    flat = rng.permutation(h * w)[:m]
+    h_idx = flat // w
+    w_idx = flat % w
+    coords = np.stack(
+        [h_idx.astype(np.float32) / (h - 1), w_idx.astype(np.float32) / (w - 1)],
+        axis=-1,
+    )
+    return coords, h_idx.astype(np.int32), w_idx.astype(np.int32)
+
+
+class Trainer:
+    def __init__(
+        self,
+        checkpoint_folder: str,
+        formatter: str,
+        model: Any,
+        datamodule: AbstractDataModule,
+        optimizer: Any,  # AdamW spec (train/optimizers.py)
+        train_loss_fn: Callable,
+        eval_loss_fn: Callable,
+        max_epoch: int,
+        lr_scheduler: Optional[Any] = None,
+        enable_amp: bool = False,
+        amp_type: str = "bfloat16",
+        checkpoint_path: str = "",
+        n_steps_output: int = 1,
+        n_steps_rollout: int = 8,
+        rt_eps: float = 0.5,
+        rt_n: int = 2,
+        cvit: bool = False,
+        num_query_points: int = 1024,
+        seed: int = 0,
+        metric_logger: Optional[MetricLogger] = None,
+        grad_clip: str = "norm",
+        **_unused: Any,
+    ):
+        self.checkpoint_folder = checkpoint_folder
+        self.datamodule = datamodule
+        self.train_loss_fn = train_loss_fn
+        self.eval_loss_fn = eval_loss_fn
+        self.max_epoch = max_epoch
+        self.n_steps_output = n_steps_output
+        self.n_steps_rollout = n_steps_rollout
+        self.rt_eps = rt_eps
+        self.rt_n = rt_n
+        self.cvit = cvit
+        self.num_query_points = num_query_points
+        self.starting_epoch = 1
+        self.best_val_loss: Optional[float] = None
+        self.starting_val_loss = float("inf")
+
+        self.dset_metadata = datamodule.train_dataset.metadata
+        self.formatter = get_formatter(formatter, self.dset_metadata)
+        self.metric_logger = metric_logger or MetricLogger(checkpoint_folder)
+
+        # bf16 mixed precision: swap the model's compute dtype.
+        if enable_amp:
+            self.model = model.clone(dtype=jnp.bfloat16)
+        else:
+            self.model = model
+
+        self.rng = np.random.default_rng(seed)
+        self.root_key = jax.random.PRNGKey(seed)
+
+        # ---- parameter init -------------------------------------------
+        md = self.dset_metadata
+        t_in = datamodule.train_dataset.n_steps_input
+        sample_shape = (1, t_in, *md.spatial_resolution, md.n_fields)
+        init_key, self.dropout_key = jax.random.split(self.root_key)
+        dummy = jnp.zeros(sample_shape, jnp.float32)
+        if self.cvit:
+            dummy_coords = jnp.zeros((4, 2), jnp.float32)
+            self.params = jax.jit(self.model.init)(init_key, dummy, dummy_coords)
+        else:
+            self.params = jax.jit(self.model.init)(init_key, dummy)
+
+        # ---- optimizer -------------------------------------------------
+        steps_per_epoch = max(1, len(datamodule.train_dataloader()))
+        if lr_scheduler is not None:
+            schedule = lr_scheduler.as_step_schedule(steps_per_epoch)
+        else:
+            schedule = optimizer.lr
+        self.lr_schedule = schedule
+        self.steps_per_epoch = steps_per_epoch
+        self.tx = optimizer.make(learning_rate=schedule, grad_clip=grad_clip)
+        self.opt_state = self.tx.init(self.params)
+        self.global_step = 0
+
+        self.ckpt = CheckpointManager(checkpoint_folder)
+        if checkpoint_path:
+            self.load_checkpoint(checkpoint_path)
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _model_chunk(self) -> int:
+        """Frames emitted per model call (static)."""
+        return int(getattr(self.model, "output_length", 1) or 1)
+
+    def _apply(self, params, x, deterministic, rngs=None):
+        kwargs = {"deterministic": deterministic}
+        return self.model.apply(params, x, rngs=rngs, **kwargs)
+
+    def _build_train_step(self):
+        chunk = self._model_chunk()
+        n_steps = self.n_steps_output
+        loss_metric = self.train_loss_fn
+
+        if self.cvit:
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, x, y_pts, coords, dropout_key):
+                def loss_fn(p):
+                    y_pred = self.model.apply(
+                        p,
+                        x,
+                        coords,
+                        deterministic=False,
+                        rngs={"dropout": dropout_key},
+                    )
+                    return jnp.mean(loss_metric(y_pred, y_pts, None))
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            return train_step
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, x, y, dropout_key):
+            def loss_fn(p):
+                y_pred = rollout_fixed(
+                    lambda w: self._apply(
+                        p, w, deterministic=False, rngs={"dropout": dropout_key}
+                    ),
+                    x,
+                    n_steps,
+                    chunk,
+                )
+                return jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    def _build_eval_step(self):
+        chunk = self._model_chunk()
+        n_steps = self.n_steps_rollout
+        loss_metric = self.eval_loss_fn
+
+        if self.cvit:
+
+            @jax.jit
+            def eval_step(params, x, y):
+                from tante_tpu.train.evaler import cvit_full_grid_rollout
+
+                y_pred = cvit_full_grid_rollout(
+                    self.model, params, x, y.shape, n_steps, self.num_query_points
+                )
+                return jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
+
+            return eval_step
+
+        @jax.jit
+        def eval_step(params, x, y):
+            y_pred = rollout_fixed(
+                lambda w: self._apply(params, w, deterministic=True),
+                x,
+                n_steps,
+                chunk,
+            )
+            return jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    def save_model(self, epoch: int, validation_loss: float, name: str) -> None:
+        self.ckpt.save(
+            name,
+            self.params,
+            self.opt_state,
+            epoch,
+            validation_loss,
+            self.best_val_loss,
+        )
+
+    def load_checkpoint(self, checkpoint_path: str) -> None:
+        logger.info("Loading checkpoint from %s", checkpoint_path)
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "meta": {
+                "epoch": np.asarray(0, np.int64),
+                "validation_loss": np.asarray(0.0, np.float64),
+                "best_validation_loss": np.asarray(0.0, np.float64),
+            },
+        }
+        restored = self.ckpt.restore(checkpoint_path, template)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.best_val_loss = restored["best_validation_loss"]
+        self.starting_val_loss = (
+            restored["validation_loss"]
+            if restored["validation_loss"] is not None
+            else float("inf")
+        )
+        self.starting_epoch = restored["epoch"] + 1
+        # LR schedule is a pure function of the step; fast-forward the count.
+        self.global_step = (self.starting_epoch - 1) * self.steps_per_epoch
+
+    # ------------------------------------------------------------------
+    def _next_dropout_key(self):
+        self.dropout_key, sub = jax.random.split(self.dropout_key)
+        return sub
+
+    def train_one_epoch(self, epoch: int, dataloader) -> tuple:
+        epoch_loss = 0.0
+        n_batches = max(1, len(dataloader))
+        start = time.time()
+        for batch in dataloader:
+            (x,), y = self.formatter.process_input(batch)
+            if self.cvit:
+                h, w = y.shape[2], y.shape[3]
+                coords, h_idx, w_idx = sample_query_coords(
+                    self.rng, h, w, self.num_query_points
+                )
+                y_pts = y[:, :, h_idx, w_idx, :]
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params,
+                    self.opt_state,
+                    x,
+                    y_pts,
+                    jnp.asarray(coords),
+                    self._next_dropout_key(),
+                )
+            else:
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, x, y, self._next_dropout_key()
+                )
+            self.global_step += 1
+            epoch_loss += float(loss) / n_batches
+        logs = {
+            "time_per_train_iter": (time.time() - start) / n_batches,
+            "train_loss": epoch_loss,
+            "lr": float(self.lr_schedule(self.global_step))
+            if callable(self.lr_schedule)
+            else self.lr_schedule,
+        }
+        return epoch_loss, logs
+
+    def validation_loop(self, dataloader, epoch: int = 0) -> float:
+        total = 0.0
+        n_batches = max(1, len(dataloader))
+        for batch in dataloader:
+            (x,), y = self.formatter.process_input(batch)
+            total += float(self._eval_step(self.params, x, y))
+        val_loss = total / n_batches
+        self.metric_logger.append_scalar_file("saved_loss.txt", val_loss)
+        return val_loss
+
+    def train(self) -> None:
+        train_loader = self.datamodule.train_dataloader()
+        val_loader = self.datamodule.val_dataloader()
+        val_loss = self.starting_val_loss
+
+        for epoch in range(self.starting_epoch, self.max_epoch + 1):
+            train_loader.set_epoch(epoch)
+            logger.info("Epoch %d/%d: starting training", epoch, self.max_epoch)
+            train_loss, train_logs = self.train_one_epoch(epoch, train_loader)
+            logger.info("Epoch %d/%d: avg training loss %s", epoch, self.max_epoch, train_loss)
+            self.metric_logger.log(train_logs, step=epoch)
+            self.save_model(epoch, val_loss, "recent")
+
+            logger.info("Epoch %d/%d: starting validation", epoch, self.max_epoch)
+            val_loss = self.validation_loop(val_loader, epoch=epoch)
+            logger.info("Epoch %d/%d: avg validation loss %s", epoch, self.max_epoch, val_loss)
+            self.metric_logger.log({"valid": val_loss}, step=epoch)
+            if self.best_val_loss is None or val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                self.save_model(epoch, val_loss, "best")

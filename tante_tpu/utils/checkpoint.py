@@ -1,0 +1,102 @@
+"""Orbax checkpointing with the reference's experiment-folder conventions.
+
+Reference behavior being mirrored (``trainer/trainer.py:116-141,247,254-255``):
+- every epoch: save "recent" with payload {epoch, model state, optimizer
+  state, validation_loss, best_validation_loss},
+- on val improvement: save "best",
+- resume: restore model+optimizer, continue from epoch+1 (the LR schedule is
+  a pure function of the step here, so no replay of ``.step()`` is needed),
+- eval: restore model weights only.
+
+Checkpoints are orbax directories ``experiments/<exp>/{recent,best}`` instead
+of ``.pt`` files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Save/restore (params, opt_state, scalars) under an experiment folder."""
+
+    def __init__(self, checkpoint_folder: str):
+        self.checkpoint_folder = os.path.abspath(checkpoint_folder)
+        os.makedirs(self.checkpoint_folder, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- save -----------------------------------------------------------
+    def save(
+        self,
+        name: str,
+        params: Any,
+        opt_state: Any,
+        epoch: int,
+        validation_loss: float,
+        best_validation_loss: Optional[float],
+    ) -> str:
+        path = os.path.join(self.checkpoint_folder, name)
+        payload = {
+            "params": jax.device_get(params),
+            "opt_state": jax.device_get(opt_state),
+            "meta": {
+                "epoch": np.asarray(epoch, dtype=np.int64),
+                "validation_loss": np.asarray(
+                    np.nan if validation_loss is None else validation_loss,
+                    dtype=np.float64,
+                ),
+                "best_validation_loss": np.asarray(
+                    np.nan if best_validation_loss is None else best_validation_loss,
+                    dtype=np.float64,
+                ),
+            },
+        }
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, payload, force=True)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return path
+
+    # -- restore --------------------------------------------------------
+    def restore(self, path: str, template: Any) -> Dict[str, Any]:
+        """Restore a checkpoint; ``template`` is a matching pytree skeleton."""
+        restored = self._ckptr.restore(path, template)
+        meta = restored["meta"]
+        best = float(meta["best_validation_loss"])
+        val = float(meta["validation_loss"])
+        return {
+            "params": restored["params"],
+            "opt_state": restored["opt_state"],
+            "epoch": int(meta["epoch"]),
+            "validation_loss": None if np.isnan(val) else val,
+            "best_validation_loss": None if np.isnan(best) else best,
+        }
+
+    def restore_params(self, path: str, params_template: Any) -> Any:
+        """Eval-style restore of model weights only (``trainer/evaler.py:113-118``)."""
+        payload = self._ckptr.metadata(path)
+        del payload
+        # Restore the full tree but only return params; opt_state template is
+        # unknown at eval time, so use partial restore via composite args.
+        restored = ocp.StandardCheckpointer().restore(
+            path,
+            None,
+        )
+        return jax.tree.map(
+            lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype) if hasattr(t, "dtype") else r,
+            params_template,
+            restored["params"],
+        )

@@ -1,0 +1,41 @@
+"""Test env: force CPU with 8 virtual devices (multi-chip sharding tests
+without TPU hardware), per the build plan in SURVEY.md section 4."""
+
+import os
+
+# Force CPU even when the shell exports JAX_PLATFORMS=axon (tunneled TPU):
+# unit tests must be hardware-independent and use 8 virtual devices.  The
+# axon platform plugin ignores JAX_PLATFORMS, so additionally pin the default
+# device to CPU after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def well_root(tmp_path_factory):
+    """Session-scoped synthetic Well dataset."""
+    from tante_tpu.data.synthetic import make_well_dataset
+
+    base = tmp_path_factory.mktemp("well")
+    make_well_dataset(
+        str(base),
+        dataset_name="synthetic_waves",
+        n_trajectories=3,
+        n_steps=24,
+        resolution=(32, 64),
+    )
+    return str(base)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,63 @@
+"""Config layer: YAML loading, overrides, _target_ instantiation, set_ckpt."""
+
+import os
+
+from tante_tpu.config import Config, instantiate, load_config, set_ckpt
+from tante_tpu.train.metrics import MSE
+from tante_tpu.train.optimizers import AdamW
+
+
+def test_load_config_and_overrides():
+    cfg = load_config("fno", overrides=["data.batch_size=16", "seed=7", "model.modes1=10"])
+    assert cfg.seed == 7
+    assert cfg.data.batch_size == 16
+    assert cfg.model.modes1 == 10
+    assert cfg.model._target_ == "models.FNO"
+
+
+def test_instantiate_reference_style_targets():
+    metric = instantiate({"_target_": "trainer.MSE"})
+    assert isinstance(metric, MSE)
+    opt = instantiate({"_target_": "torch.optim.AdamW", "lr": 1e-4, "weight_decay": 1e-5})
+    assert isinstance(opt, AdamW)
+    assert opt.lr == 1e-4
+
+
+def test_instantiate_recursive_and_extra_kwargs():
+    node = {
+        "_target_": "trainer.Trainer",
+    }
+    # No instantiation test of Trainer itself here (needs data); check that
+    # nested dicts instantiate depth-first using a metric node.
+    nested = instantiate({"inner": {"_target_": "trainer.VRMSE"}})
+    from tante_tpu.train.metrics import VRMSE
+
+    assert isinstance(nested["inner"], VRMSE)
+
+
+def test_set_ckpt_creates_folder(tmp_path):
+    cfg = Config(
+        {
+            "root_path": str(tmp_path),
+            "experiment": "exp1",
+            "trainer": Config({"checkpoint_path": None}),
+            "evaler": Config({"checkpoint_path": None}),
+        }
+    )
+    cfg, folder = set_ckpt(cfg)
+    assert os.path.isdir(folder)
+    assert cfg.trainer.checkpoint_path == ""
+
+    # Simulate an existing "recent" checkpoint dir -> auto-resume picks it up.
+    os.makedirs(os.path.join(folder, "recent"))
+    cfg, folder = set_ckpt(cfg)
+    assert cfg.trainer.checkpoint_path == os.path.join(folder, "recent")
+
+
+def test_all_shipped_configs_parse():
+    import glob
+
+    for path in glob.glob(os.path.join(os.path.dirname(__file__), "..", "configs", "*.yaml")):
+        cfg = load_config(path)
+        assert "_target_" in cfg.model
+        assert "_target_" in cfg.data

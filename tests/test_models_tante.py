@@ -1,0 +1,154 @@
+"""TANTE core model shape/behavior tests (mirrors the reference's __main__
+smoke blocks, models/tante.py:288-318, attn_backbone.py:195-211,
+enc_dec_cnn.py:280-336)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tante_tpu.data.dataset import TanteMetadata
+from tante_tpu.models import TANTE, AttnBackbone, DecCNN, DecFNO, EncCNN, EncFNO
+
+MD = TanteMetadata(
+    dataset_name="synthetic",
+    n_spatial_dims=2,
+    spatial_resolution=(32, 64),
+    field_names={0: ["density"], 1: ["velocity_x", "velocity_y"], 2: []},
+    boundary_condition_types=["PERIODIC"],
+    n_files=1,
+    n_trajectories_per_file=[2],
+    n_steps_per_trajectory=[24],
+    n_fields=3,
+)
+
+
+def test_enc_dec_cnn_roundtrip_shapes():
+    enc = EncCNN(dset_metadata=MD, embed_dim=64, patch_scale=8)
+    dec = DecCNN(dset_metadata=MD, embed_dim=64, patch_scale=8)
+    x = jnp.ones((2, 4, 32, 64, 3))
+    pe = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(pe, x)
+    assert z.shape == (2, 4, 4, 8, 64)
+    pd = dec.init(jax.random.PRNGKey(1), z)
+    y = dec.apply(pd, z)
+    assert y.shape == (2, 4, 32, 64, 3)
+
+
+def test_enc_dec_cnn_overlap():
+    enc = EncCNN(dset_metadata=MD, embed_dim=32, patch_scale=8, overlap_ratio=0.5)
+    x = jnp.ones((1, 2, 32, 64, 3))
+    pe = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(pe, x)
+    assert z.shape == (1, 2, 4, 8, 32)  # exact grid enforced by adaptive pool
+
+
+def test_enc_dec_fno_roundtrip_shapes():
+    enc = EncFNO(dset_metadata=MD, embed_dim=64, modes=(8, 8), patch_scale=8)
+    dec = DecFNO(dset_metadata=MD, embed_dim=64, modes=(8, 8), patch_scale=8)
+    x = jnp.ones((2, 3, 32, 64, 3))
+    pe = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(pe, x)
+    assert z.shape == (2, 3, 4, 8, 64)
+    pd = dec.init(jax.random.PRNGKey(1), z)
+    y = dec.apply(pd, z)
+    assert y.shape == (2, 3, 32, 64, 3)
+
+
+@pytest.mark.parametrize("axes", ["THW", "LY", "XA", "C"])
+def test_attn_backbone_axes(axes):
+    m = AttnBackbone(tensor_shape=(3, 4, 8, 32), attn_axes=axes, expanded_channel=16, n_head=4)
+    x = jnp.ones((2, 3, 4, 8, 32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_tante_fixed_mode():
+    model = TANTE(
+        in_T=4,
+        dset_metadata=MD,
+        taylor_order=2,
+        attn_axes="TH-WL",
+        embed_dim=32,
+        patch_scale=8,
+        output_length=3,
+        deg=True,
+        n_head=4,
+    )
+    x = jnp.ones((2, 4, 32, 64, 3))
+    p = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(p, x)
+    assert y.shape == (2, 3, 32, 64, 3)
+
+
+def test_tante_crops_longer_history():
+    model = TANTE(
+        in_T=4, dset_metadata=MD, attn_axes="T", embed_dim=32, patch_scale=8, n_head=4
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 32, 64, 3))
+    p = model.init(jax.random.PRNGKey(0), x)
+    y_full = model.apply(p, x)
+    y_crop = model.apply(p, x[:, -4:])
+    np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_crop), atol=1e-5)
+
+
+def test_tante_adaptive_mode():
+    model = TANTE(
+        in_T=4,
+        dset_metadata=MD,
+        taylor_order=1,
+        attn_axes="TH",
+        embed_dim=32,
+        patch_scale=8,
+        deg=False,
+        n_head=4,
+    )
+    x = jnp.ones((2, 4, 32, 64, 3))
+    p = model.init(jax.random.PRNGKey(0), x, 1.5)
+    frames, rt = model.apply(p, x, 1.5)
+    assert frames.shape == (2, 1, 32, 64, 3)  # out_T=1.5 -> 1 frame slot
+    assert rt.shape == (2,)
+    assert float(rt.min()) >= 1.001 - 1e-6
+    assert float(rt.max()) <= 1.501 + 1e-6
+
+    frames8, rt8 = model.apply(p, x, 8.0)
+    assert frames8.shape == (2, 8, 32, 64, 3)
+    assert float(rt8.min()) >= 1.001 - 1e-6
+    assert float(rt8.max()) <= 8.001 + 1e-6
+
+
+def test_tante_taylor_sum_matches_hand_computation():
+    """Taylor combination parity: with taylor_order=2, frame i must equal
+    u0 + d1*(i*dt) + d2*(i*dt)^2/2 (reference models/tante.py:165-169)."""
+    model = TANTE(
+        in_T=2,
+        dset_metadata=MD,
+        taylor_order=2,
+        attn_axes="T-H",
+        embed_dim=32,
+        patch_scale=8,
+        output_length=3,
+        frame_interval=0.5,
+        deg=True,
+        n_head=4,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 64, 3))
+    p = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(p, x)
+
+    # Recompute derivatives by calling with output_length=1 twice is not
+    # possible directly; instead verify the Taylor structure: the three
+    # frames must be an affine function of (i*dt, (i*dt)^2/2) with shared
+    # coefficients. Solve for d1, d2 from frames 1, 2 and predict frame 3.
+    u0 = np.asarray(x[:, -1])
+    f = np.asarray(y)
+    dt = 0.5
+    t1, t2, t3 = 1 * dt, 2 * dt, 3 * dt
+    # f1 - u0 = d1 t1 + d2 t1^2/2 ; f2 - u0 = d1 t2 + d2 t2^2/2
+    a = np.array([[t1, t1**2 / 2], [t2, t2**2 / 2]])
+    rhs = np.stack([f[:, 0] - u0, f[:, 1] - u0])  # (2, B, H, W, C)
+    sol = np.linalg.solve(a, rhs.reshape(2, -1)).reshape(2, *rhs.shape[1:])
+    pred3 = u0 + sol[0] * t3 + sol[1] * t3**2 / 2
+    np.testing.assert_allclose(f[:, 2], pred3, atol=1e-3)

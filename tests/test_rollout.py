@@ -1,0 +1,126 @@
+"""Rollout-equivalence tests: compiled scan/while rollouts vs. Python-loop
+references (the reference's window-slide semantics, trainer/trainer.py:144-159)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tante_tpu.train.rollout import (
+    rollout_adaptive_eval,
+    rollout_adaptive_train,
+    rollout_fixed,
+)
+
+B, T, H, W, C = 2, 4, 5, 6, 3
+
+
+def linear_step_model(chunk):
+    """A deterministic fake model: emits `chunk` frames, each a simple
+    function of the window so the rollout wiring is observable."""
+
+    def apply_fn(window):
+        base = jnp.mean(window, axis=1, keepdims=True)  # (B,1,H,W,C)
+        return jnp.concatenate(
+            [base * (1.0 + 0.1 * k) for k in range(chunk)], axis=1
+        )
+
+    return apply_fn
+
+
+def python_rollout(apply_fn, window, n_steps):
+    """Direct transliteration of the reference while-loop semantics."""
+    t_in = window.shape[1]
+    preds = []
+    cum = 0
+    while cum < n_steps:
+        y = apply_fn(window)
+        cum += y.shape[1]
+        if cum < n_steps:
+            window = jnp.concatenate([window, y], axis=1)[:, -t_in:]
+        preds.append(y)
+    return jnp.concatenate(preds, axis=1)[:, :n_steps]
+
+
+def test_rollout_fixed_matches_python_loop():
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, W, C))
+    for chunk, n_steps in [(1, 4), (2, 8), (3, 8), (4, 4)]:
+        fn = linear_step_model(chunk)
+        got = rollout_fixed(fn, x, n_steps, chunk)
+        want = python_rollout(fn, x, n_steps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def adaptive_fake_model(n_frames, rt_value):
+    def apply_fn(window):
+        base = jnp.mean(window, axis=1, keepdims=True)
+        frames = jnp.concatenate(
+            [base * (1.0 + 0.1 * k) for k in range(n_frames)], axis=1
+        )
+        rt = jnp.full((window.shape[0],), rt_value)
+        return frames, rt
+
+    return apply_fn
+
+
+def test_rollout_adaptive_train_single_frame_calls():
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, C))
+    fn = adaptive_fake_model(1, 1.3)
+    y, rts = rollout_adaptive_train(fn, x, 4)
+    assert y.shape == (B, 4, H, W, C)
+    assert rts.shape == (4, B)
+    # Equivalent fixed rollout with chunk 1
+    fixed = rollout_fixed(lambda w: fn(w)[0], x, 4, 1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(fixed), rtol=1e-5)
+
+
+def test_rollout_adaptive_eval_emits_floor_rt():
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, W, C))
+    n_steps = 8
+
+    # rt = 3.7 -> 3 frames consumed per call -> ceil(8/3) = 3 calls.
+    fn = adaptive_fake_model(n_steps, 3.7)
+    y, rt_log, n_calls = rollout_adaptive_eval(fn, x, n_steps)
+    assert int(n_calls) == 3
+    rt_np = np.asarray(rt_log)
+    assert np.sum(~np.isnan(rt_np)) == 3
+    np.testing.assert_allclose(rt_np[~np.isnan(rt_np)], 3.7, rtol=1e-6)
+
+    # Python reference: emit floor(rt) frames per call.
+    def python_adaptive(window):
+        t_in = window.shape[1]
+        preds = []
+        cum = 0
+        while cum < n_steps:
+            frames, rt = fn(window)
+            emit = int(np.floor(float(rt[0])))
+            y_emit = frames[:, :emit]
+            cum += emit
+            window = jnp.concatenate([window, y_emit], axis=1)[:, -t_in:]
+            preds.append(y_emit)
+        return jnp.concatenate(preds, axis=1)[:, :n_steps]
+
+    want = python_adaptive(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5)
+
+
+def test_rollout_adaptive_eval_rt_one_equals_fixed():
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, H, W, C))
+    fn = adaptive_fake_model(4, 1.2)  # floor -> 1 frame per call
+    y, _, n_calls = rollout_adaptive_eval(fn, x, 4)
+    assert int(n_calls) == 4
+    fixed = rollout_fixed(lambda w: fn(w)[0][:, :1], x, 4, 1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(fixed), rtol=1e-5)
+
+
+def test_rollout_fixed_is_differentiable():
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, H, W, C))
+    w0 = jnp.ones((C,))
+
+    def loss(w):
+        fn = lambda win: jnp.mean(win, axis=1, keepdims=True) * w
+        y = rollout_fixed(fn, x, 4, 1)
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss)(w0)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

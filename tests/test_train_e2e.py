@@ -1,0 +1,161 @@
+"""End-to-end training/eval smoke tests on the synthetic Well dataset.
+
+Exercises every layer once (config -> data -> model -> trainer -> checkpoint
+-> evaler), the reference's minimum slice (SURVEY.md section 7 step 3).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tante_tpu.config import instantiate
+from tante_tpu.data import TanteDataModule
+from tante_tpu.models import FNO, TANTE
+from tante_tpu.train import (
+    MSE,
+    L2RE,
+    NNMSE,
+    VRMSE,
+    AdamW,
+    Evaler,
+    LinearWarmupCosineAnnealingLR,
+    R_Evaler,
+    R_Trainer,
+    Trainer,
+)
+
+
+@pytest.fixture()
+def dm(well_root):
+    return TanteDataModule(
+        base_path=well_root,
+        dataset_name="synthetic_waves",
+        batch_size=2,
+        n_steps_input=4,
+        n_steps_output=2,
+        eval_steps_output=4,
+        data_workers=2,
+        seed=0,
+    )
+
+
+def make_trainer(dm, model, tmp_path, cls=Trainer, **kw):
+    md = dm.train_dataset.metadata
+    return cls(
+        checkpoint_folder=str(tmp_path),
+        formatter="channels_first_default",
+        model=model,
+        datamodule=dm,
+        optimizer=AdamW(lr=1e-3, weight_decay=1e-5),
+        train_loss_fn=MSE(),
+        eval_loss_fn=L2RE(),
+        max_epoch=2,
+        lr_scheduler=LinearWarmupCosineAnnealingLR(
+            warmup_epochs=1, max_epochs=2, lr=1e-3, warmup_start_lr=1e-4, eta_min=1e-4
+        ),
+        n_steps_output=2,
+        n_steps_rollout=4,
+        seed=0,
+        **kw,
+    )
+
+
+def test_fno_trainer_end_to_end(dm, tmp_path):
+    md = dm.train_dataset.metadata
+    model = FNO(in_T=4, dset_metadata=md, modes1=8, modes2=8, hidden_channels=16)
+    trainer = make_trainer(dm, model, tmp_path)
+
+    loader = dm.train_dataloader()
+    loss0, _ = trainer.train_one_epoch(1, loader)
+    for _ in range(3):
+        loss1, _ = trainer.train_one_epoch(1, loader)
+    assert loss1 < loss0, f"training loss did not decrease: {loss0} -> {loss1}"
+
+    val = trainer.validation_loop(dm.val_dataloader())
+    assert np.isfinite(val)
+    assert os.path.exists(os.path.join(str(tmp_path), "saved_loss.txt"))
+
+
+def test_trainer_checkpoint_resume(dm, tmp_path):
+    md = dm.train_dataset.metadata
+    model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
+    trainer = make_trainer(dm, model, tmp_path)
+    trainer.train()  # 2 epochs, saves recent + best
+
+    assert os.path.isdir(os.path.join(str(tmp_path), "recent"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "best"))
+
+    # Resume: a new trainer picks up from epoch 3.
+    trainer2 = make_trainer(dm, model, tmp_path, checkpoint_path=os.path.join(str(tmp_path), "recent"))
+    assert trainer2.starting_epoch == 3
+    leaves1 = [np.asarray(x) for x in __import__("jax").tree.leaves(trainer.params)]
+    leaves2 = [np.asarray(x) for x in __import__("jax").tree.leaves(trainer2.params)]
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b)
+
+
+def test_evaler_four_metric_report(dm, tmp_path):
+    md = dm.train_dataset.metadata
+    model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
+    trainer = make_trainer(dm, model, tmp_path)
+    trainer.train()
+
+    evaler = Evaler(
+        checkpoint_folder=str(tmp_path),
+        formatter="channels_first_default",
+        model=model,
+        datamodule=dm,
+        eval_loss_fn1=MSE(),
+        eval_loss_fn2=L2RE(),
+        eval_loss_fn3=NNMSE(),
+        eval_loss_fn4=VRMSE(),
+        checkpoint_path=os.path.join(str(tmp_path), "best"),
+        n_steps_rollout=4,
+        batch_size=2,
+    )
+    report = evaler.Eval(mode="common")
+    assert set(report["metrics"]) == {"MSE", "L2RE", "NNMSE", "VRMSE"}
+    assert all(np.isfinite(v) for v in report["metrics"].values())
+    assert report["mean_rollout_time_s"] > 0
+
+
+def test_adaptive_trainer_and_evaler(dm, tmp_path):
+    md = dm.train_dataset.metadata
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="TH",
+        embed_dim=32,
+        patch_scale=8,
+        deg=False,
+        n_head=4,
+        dropout=0.1,
+    )
+    trainer = make_trainer(dm, model, tmp_path, cls=R_Trainer)
+    loader = dm.train_dataloader()
+    loss, logs = trainer.train_one_epoch(1, loader)
+    assert np.isfinite(loss)
+    assert 1.0 <= logs["rt"] <= 1.6  # out_T=1.5 band
+    val = trainer.validation_loop(dm.val_dataloader())
+    assert np.isfinite(val)
+    assert os.path.exists(os.path.join(str(tmp_path), "saved_rt.txt"))
+    trainer.save_model(1, val, "recent")
+
+    evaler = R_Evaler(
+        checkpoint_folder=str(tmp_path),
+        formatter="channels_first_default",
+        model=model,
+        datamodule=dm,
+        eval_loss_fn1=MSE(),
+        eval_loss_fn2=L2RE(),
+        eval_loss_fn3=NNMSE(),
+        eval_loss_fn4=VRMSE(),
+        checkpoint_path=os.path.join(str(tmp_path), "recent"),
+        n_steps_rollout=4,
+        batch_size=2,
+    )
+    report = evaler.Eval(mode="common")
+    assert np.isfinite(report["rt_mean"])
+    assert 1 <= report["model_calls_per_rollout"] <= 4
