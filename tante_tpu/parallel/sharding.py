@@ -1,0 +1,70 @@
+"""Parameter partition rules (NamedSharding trees for pytrees of params).
+
+Tensor-parallel layout for the transformer backbones: the qkv projection
+kernels are sharded over their *output* (head) dimension and the attention
+output projection over its *input* dimension — the Megatron layout, which
+needs one all-reduce per attention block and none inside it.  MLP kernels
+shard hidden-dim likewise.  Everything else (convs, norms, embeddings) is
+replicated; batch parallelism handles those.
+
+With ``jit`` + NamedSharding-annotated params, XLA's SPMD partitioner
+inserts the collectives (all-gather / reduce-scatter / psum) over ICI;
+nothing here issues comms by hand.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# path-regex -> PartitionSpec factory taking the param ndim.
+_TP_RULES = [
+    # attention qkv projections: shard output features over tp
+    (re.compile(r"(q_proj|k_proj|v_proj)/kernel$"), lambda nd: P(*([None] * (nd - 1) + ["tp"]))),
+    (re.compile(r"(q_proj|k_proj|v_proj)/bias$"), lambda nd: P("tp")),
+    # attention output projection: shard input features over tp
+    (re.compile(r"out_proj/kernel$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_shardings(params: Any, mesh: Mesh, enable_tp: bool = True) -> Any:
+    """Return a pytree of NamedShardings matching ``params``."""
+    tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+
+    def rule(path, leaf):
+        if enable_tp and tp_size > 1 and hasattr(leaf, "ndim"):
+            s = _path_str(path)
+            for pattern, spec_fn in _TP_RULES:
+                if pattern.search(s):
+                    spec = spec_fn(leaf.ndim)
+                    # Only shard when the dimension divides evenly.
+                    ok = True
+                    for dim, name in zip(leaf.shape, spec):
+                        if name == "tp" and dim % tp_size != 0:
+                            ok = False
+                    if ok:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh, enable_tp: bool = True) -> Any:
+    """Place ``params`` on the mesh according to ``param_shardings``."""
+    shardings = param_shardings(params, mesh, enable_tp=enable_tp)
+    return jax.tree.map(jax.device_put, params, shardings)
