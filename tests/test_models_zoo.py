@@ -1,0 +1,128 @@
+"""Baseline-zoo shape/sanity tests (mirrors the reference's __main__ smoke
+blocks per model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tante_tpu.data.dataset import TanteMetadata
+
+MD = TanteMetadata(
+    dataset_name="synthetic",
+    n_spatial_dims=2,
+    spatial_resolution=(32, 64),
+    field_names={0: ["density"], 1: ["velocity_x", "velocity_y"], 2: []},
+    boundary_condition_types=["PERIODIC"],
+    n_files=1,
+    n_trajectories_per_file=[2],
+    n_steps_per_trajectory=[24],
+    n_fields=3,
+)
+
+B, T = 2, 4
+X_SHAPE = (B, T, 32, 64, 3)
+
+
+def _run(model, x_shape=X_SHAPE, **apply_kw):
+    x = jax.random.normal(jax.random.PRNGKey(0), x_shape)
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x, **apply_kw)
+    return params, y
+
+
+def n_params(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def test_fno_shapes():
+    from tante_tpu.models import FNO
+
+    model = FNO(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
+    _, y = _run(model)
+    assert y.shape == (B, 1, 32, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_fno_param_count_matches_table():
+    """FNO @ hidden 48, modes 20 should be ~4M params (BASELINE.md row 1)."""
+    from tante_tpu.models import FNO
+
+    model = FNO(in_T=4, dset_metadata=MD, modes1=20, modes2=20, hidden_channels=48)
+    params, _ = _run(model)
+    total = n_params(params)
+    assert 3.0e6 < total < 5.5e6, f"FNO params {total} outside ~4M band"
+
+
+def test_tfno_shapes_and_fewer_params():
+    from tante_tpu.models import FNO, TFNO
+
+    tfno = TFNO(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
+    p_t, y = _run(tfno)
+    assert y.shape == (B, 1, 32, 64, 3)
+    fno = FNO(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
+    p_f, _ = _run(fno)
+    assert n_params(p_t) < n_params(p_f), "Tucker factorization should shrink params"
+
+
+def test_afno_shapes():
+    from tante_tpu.models import AFNO
+
+    model = AFNO(in_T=T, dset_metadata=MD, hidden_dim=64, n_blocks=2, patch_size=8)
+    _, y = _run(model)
+    assert y.shape == (B, 1, 32, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_afno_nonsquare_grid():
+    """The corrected Fourier mixer must handle H != W (the reference's
+    rfftn-dim quirk mangled this case; see models/afno.py docstring)."""
+    from tante_tpu.models import AFNO
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 48),
+        field_names={0: ["a"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=1,
+    )
+    model = AFNO(in_T=2, dset_metadata=md, hidden_dim=32, n_blocks=1, patch_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 48, 1))
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 1, 16, 48, 1)
+
+
+def test_dpot_shapes():
+    from tante_tpu.models import DPOT
+
+    model = DPOT(
+        in_T=T,
+        dset_metadata=MD,
+        patch_size=8,
+        out_timesteps=2,
+        depth=2,
+        embed_dim=64,
+        n_blocks=4,
+        modes=8,
+        out_layer_dim=8,
+    )
+    _, y = _run(model)
+    assert y.shape == (B, 2, 32, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+    assert model.output_length == 2
+
+
+def test_dpot_time_agg_modes():
+    from tante_tpu.models.dpot import TimeAggregator
+
+    for agg in ("mlp", "exp_mlp"):
+        m = TimeAggregator(n_timesteps=4, out_channels=16, agg_type=agg)
+        x = jnp.ones((2, 3, 5, 4, 16))
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(p, x)
+        assert y.shape == (2, 3, 5, 16)
