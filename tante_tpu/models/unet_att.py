@@ -1,0 +1,131 @@
+"""Attention-gated U-Net baseline (reference ``models/unet_att.py:79-175``).
+
+Classic attention U-Net: double conv-BN-ReLU blocks, MaxPool encoder
+64->1024 (configurable depth 2..5), nearest-upsample + conv decoder with
+attention gating (sigmoid psi on gate+skip), final 1x1 conv to
+``n_channel * out_T`` frames.
+
+BatchNorm carries running statistics in the flax ``batch_stats`` collection;
+the trainers thread this mutable state through the compiled rollout (see
+``train/rollout.py:rollout_fixed_stateful``).  Under data parallelism the
+statistics are per-device (matching the reference's unsynced single-GPU
+behavior); cross-replica sync would use ``axis_name`` on the mesh.
+
+Note the reference's final reshape is ``b (c t) ... -> b t c ...``
+(``unet_att.py:173``) — channel-major grouping; mirrored here exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tante_tpu.data.dataset import TanteMetadata
+from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+
+
+def _conv(features, kernel, c_in, name=None, dtype=jnp.float32):
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        padding=((kernel // 2, kernel // 2),) * 2 if kernel > 1 else "VALID",
+        kernel_init=torch_kernel_init,
+        bias_init=torch_bias_init(c_in * kernel * kernel),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ConvBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(2):
+            x = _conv(self.out_channels, 3, x.shape[-1], dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class UpConv(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        # nn.Upsample(scale_factor=2) default mode is 'nearest'.
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        x = _conv(self.out_channels, 3, c, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class AttentionGate(nn.Module):
+    n_coefficients: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gate, skip, train: bool = False):
+        g1 = _conv(self.n_coefficients, 1, gate.shape[-1], dtype=self.dtype, name="W_gate")(gate)
+        g1 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(g1)
+        x1 = _conv(self.n_coefficients, 1, skip.shape[-1], dtype=self.dtype, name="W_x")(skip)
+        x1 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x1)
+        psi = nn.relu(g1 + x1)
+        psi = _conv(1, 1, self.n_coefficients, dtype=self.dtype, name="psi")(psi)
+        psi = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(psi)
+        psi = nn.sigmoid(psi)
+        return skip * psi
+
+
+class AttentionUNet(nn.Module):
+    in_T: int
+    dset_metadata: Optional[TanteMetadata] = None
+    depth: int = 4
+    out_T: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_length(self) -> int:
+        return self.out_T
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """(B, T, H, W, C) -> (B, out_T, H, W, C)."""
+        train = not deterministic
+        b, t, h, w, c = x.shape
+        z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)
+
+        def pool(v):
+            return nn.max_pool(v, window_shape=(2, 2), strides=(2, 2))
+
+        dims = [64, 128, 256, 512, 1024][: self.depth]
+        encs = []
+        for i, d in enumerate(dims):
+            if i > 0:
+                z = pool(z)
+            z = ConvBlock(d, dtype=self.dtype, name=f"Conv{i + 1}")(z, train)
+            encs.append(z)
+
+        d_cur = encs[-1]
+        # Decoder from the deepest level back to level 2.
+        for level in range(self.depth, 1, -1):
+            d_up = UpConv(dims[level - 2], dtype=self.dtype, name=f"Up{level}")(d_cur, train)
+            s = AttentionGate(
+                dims[level - 2] // 2, dtype=self.dtype, name=f"Att{level}"
+            )(d_up, encs[level - 2], train)
+            d_cat = jnp.concatenate([s, d_up], axis=-1)
+            d_cur = ConvBlock(dims[level - 2], dtype=self.dtype, name=f"UpConv{level}")(
+                d_cat, train
+            )
+
+        out = _conv(c * self.out_T, 1, 64, dtype=self.dtype, name="Conv")(d_cur)
+        # (b, h, w, (c t)) -> (b, t, h, w, c); channel-major grouping as in
+        # the reference's 'b (c t) ... -> b t c ...'.
+        out = out.reshape(b, h, w, c, self.out_T)
+        return jnp.transpose(out, (0, 4, 1, 2, 3))

@@ -1,0 +1,181 @@
+"""ConvNeXt U-Net baseline (reference ``models/unet_convnext.py:202-283``).
+
+ConvNeXt blocks (7x7 depthwise conv -> LayerNorm -> 4x MLP -> LayerScale)
+in a U-Net of Down/Upsample stages with channel-concat skips and 1x1 skip
+projections.  Channels-last throughout — the reference's permute-heavy
+"implementation (2)" collapses to straight-line NHWC code here.
+
+The reference's channels-first "LayerNorm" inside Down/Upsample is actually
+an L2 normalization over channels (``F.normalize(x, p=2, dim=1) * weight``,
+``unet_convnext.py:69``) — reproduced faithfully since trained nets depend
+on it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tante_tpu.data.dataset import TanteMetadata
+from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+
+
+class ChannelL2Norm(nn.Module):
+    """x / max(||x||_2 over C, eps) * weight — the reference quirk."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(norm, self.eps) * weight
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32, groups=1, c_in=None):
+    k = (kernel, kernel)
+    fan_in = (c_in or features) * kernel * kernel // groups
+    return nn.Conv(
+        features,
+        kernel_size=k,
+        strides=(stride, stride),
+        padding=((kernel // 2, (kernel - 1) // 2),) * 2 if kernel > 1 else "VALID",
+        feature_group_count=groups,
+        kernel_init=torch_kernel_init,
+        bias_init=torch_bias_init(fan_in),
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ConvNextBlock(nn.Module):
+    dim: int
+    layer_scale_init_value: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(
+            self.dim,
+            kernel_size=(7, 7),
+            padding=((3, 3), (3, 3)),
+            feature_group_count=self.dim,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(49),
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(y)
+        y = nn.Dense(
+            4 * self.dim,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(self.dim),
+            dtype=self.dtype,
+        )(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(
+            self.dim,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(4 * self.dim),
+            dtype=self.dtype,
+        )(y)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma",
+                lambda key: self.layer_scale_init_value * jnp.ones((self.dim,)),
+            )
+            y = gamma * y
+        return x + y
+
+
+class Stage(nn.Module):
+    dim_in: int
+    dim_out: int
+    depth: int = 1
+    mode: str = "down"  # 'down' | 'up' | 'neck'
+    skip_project: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.skip_project:
+            x = _conv(self.dim_in, 1, dtype=self.dtype, c_in=x.shape[-1], name="skip_proj")(x)
+        for _ in range(self.depth):
+            x = ConvNextBlock(self.dim_in, dtype=self.dtype)(x)
+        if self.mode == "down":
+            x = ChannelL2Norm()(x)
+            x = _conv(self.dim_out, 2, stride=2, dtype=self.dtype, c_in=self.dim_in, name="down")(x)
+        elif self.mode == "up":
+            x = ChannelL2Norm()(x)
+            x = nn.ConvTranspose(
+                self.dim_out,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(self.dim_in * 4),
+                dtype=self.dtype,
+                name="up",
+            )(x)
+        return x
+
+
+class UNetConvNext(nn.Module):
+    in_T: int
+    dset_metadata: Optional[TanteMetadata] = None
+    stages: int = 4
+    blocks_per_stage: int = 1
+    blocks_at_neck: int = 1
+    init_features: int = 32
+    gradient_checkpointing: bool = False
+    output_length: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """(B, T, H, W, C) -> (B, 1, H, W, C)."""
+        b, t, h, w, c = x.shape
+        z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)
+        feats = self.init_features
+        enc_dims = [feats * 2**i for i in range(self.stages + 1)]
+        dec_dims = [feats * 2**i for i in range(self.stages, -1, -1)]
+
+        z = _conv(feats, 3, dtype=self.dtype, c_in=t * c, name="in_proj")(z)
+
+        stage_cls = nn.remat(Stage) if self.gradient_checkpointing else Stage
+        skips = []
+        for i in range(self.stages):
+            skips.append(z)
+            z = stage_cls(
+                dim_in=enc_dims[i],
+                dim_out=enc_dims[i + 1],
+                depth=self.blocks_per_stage,
+                mode="down",
+                dtype=self.dtype,
+                name=f"enc_{i}",
+            )(z)
+        z = Stage(
+            dim_in=enc_dims[-1],
+            dim_out=enc_dims[-1],
+            depth=self.blocks_at_neck,
+            mode="neck",
+            dtype=self.dtype,
+            name="neck",
+        )(z)
+        for j in range(self.stages):
+            if j > 0:
+                z = jnp.concatenate([z, skips[-j]], axis=-1)
+            z = stage_cls(
+                dim_in=dec_dims[j],
+                dim_out=dec_dims[j + 1],
+                depth=self.blocks_per_stage,
+                mode="up",
+                skip_project=(j != 0),
+                dtype=self.dtype,
+                name=f"dec_{j}",
+            )(z)
+        z = _conv(c, 3, dtype=self.dtype, c_in=feats, name="out_proj")(z)
+        return z[:, None]

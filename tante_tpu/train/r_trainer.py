@@ -50,11 +50,14 @@ class R_Trainer(Trainer):
         rt_eps, rt_n = self.rt_eps, self.rt_n
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, x, y, dropout_key):
+        def train_step(variables, opt_state, x, y, dropout_key):
+            params = variables["params"]
+            state = {k: v for k, v in variables.items() if k != "params"}
+
             def loss_fn(p):
                 y_pred, rts = rollout_adaptive_train(
                     lambda w: self._apply_adaptive(
-                        p,
+                        {"params": p, **state},
                         w,
                         TRAIN_OUT_T,
                         deterministic=False,
@@ -71,7 +74,7 @@ class R_Trainer(Trainer):
             params = optax.apply_updates(params, updates)
             rt_avg = jnp.mean(rts)
             rt_var = jnp.std(rts, ddof=1)
-            return params, opt_state, loss, rt_avg, rt_var
+            return {"params": params, **state}, opt_state, loss, rt_avg, rt_var
 
         return train_step
 

@@ -57,6 +57,33 @@ def rollout_fixed(
     return y_pred[:, :n_steps]
 
 
+def rollout_fixed_stateful(
+    apply_fn,
+    window: jnp.ndarray,
+    n_steps: int,
+    chunk: int,
+    state,
+):
+    """Fixed-step rollout threading mutable model state (e.g. BatchNorm
+    ``batch_stats``) through the scan carry.
+
+    apply_fn: (window, state) -> (y (B, chunk, ...), new_state).
+    Returns (y_pred (B, n_steps, ...), final_state).
+    """
+    t_in = window.shape[1]
+    n_calls = math.ceil(n_steps / chunk)
+
+    def body(carry, _):
+        win, st = carry
+        y, st = apply_fn(win, st)
+        new_win = jnp.concatenate([win, y], axis=1)[:, -t_in:]
+        return (new_win, st), y
+
+    (_, final_state), ys = jax.lax.scan(body, (window, state), None, length=n_calls)
+    y_pred = rearrange(ys, "s b k ... -> b (s k) ...")
+    return y_pred[:, :n_steps], final_state
+
+
 def rollout_adaptive_train(
     apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
     window: jnp.ndarray,

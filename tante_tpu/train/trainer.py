@@ -34,7 +34,7 @@ import numpy as np
 import optax
 
 from tante_tpu.data.datamodule import AbstractDataModule, get_formatter
-from tante_tpu.train.rollout import rollout_fixed
+from tante_tpu.train.rollout import rollout_fixed, rollout_fixed_stateful
 from tante_tpu.utils.checkpoint import CheckpointManager
 from tante_tpu.utils.logging import MetricLogger
 
@@ -120,6 +120,9 @@ class Trainer:
             self.params = jax.jit(self.model.init)(init_key, dummy)
 
         # ---- optimizer -------------------------------------------------
+        # self.params is the full variables dict ({'params', maybe
+        # 'batch_stats', ...}); the optimizer only touches the trainable
+        # 'params' collection.
         steps_per_epoch = max(1, len(datamodule.train_dataloader()))
         if lr_scheduler is not None:
             schedule = lr_scheduler.as_step_schedule(steps_per_epoch)
@@ -128,7 +131,7 @@ class Trainer:
         self.lr_schedule = schedule
         self.steps_per_epoch = steps_per_epoch
         self.tx = optimizer.make(learning_rate=schedule, grad_clip=grad_clip)
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = self.tx.init(self.params["params"])
         self.global_step = 0
 
         self.ckpt = CheckpointManager(checkpoint_folder)
@@ -155,10 +158,13 @@ class Trainer:
         if self.cvit:
 
             @partial(jax.jit, donate_argnums=(0, 1))
-            def train_step(params, opt_state, x, y_pts, coords, dropout_key):
+            def train_step(variables, opt_state, x, y_pts, coords, dropout_key):
+                params = variables["params"]
+                state = {k: v for k, v in variables.items() if k != "params"}
+
                 def loss_fn(p):
                     y_pred = self.model.apply(
-                        p,
+                        {"params": p, **state},
                         x,
                         coords,
                         deterministic=False,
@@ -169,27 +175,53 @@ class Trainer:
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return params, opt_state, loss
+                return {"params": params, **state}, opt_state, loss
 
             return train_step
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, x, y, dropout_key):
-            def loss_fn(p):
-                y_pred = rollout_fixed(
-                    lambda w: self._apply(
-                        p, w, deterministic=False, rngs={"dropout": dropout_key}
-                    ),
-                    x,
-                    n_steps,
-                    chunk,
-                )
-                return jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
+        def train_step(variables, opt_state, x, y, dropout_key):
+            params = variables["params"]
+            state = {k: v for k, v in variables.items() if k != "params"}
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            def loss_fn(p):
+                if state:
+                    # Mutable model state (BatchNorm running stats): threaded
+                    # through the scan carry, EMA-updated per model call just
+                    # like sequential torch forwards.
+                    def apply_fn(w, st):
+                        out, new_st = self.model.apply(
+                            {"params": p, **st},
+                            w,
+                            deterministic=False,
+                            rngs={"dropout": dropout_key},
+                            mutable=list(st.keys()),
+                        )
+                        return out, dict(new_st)
+
+                    y_pred, new_state = rollout_fixed_stateful(
+                        apply_fn, x, n_steps, chunk, state
+                    )
+                else:
+                    y_pred = rollout_fixed(
+                        lambda w: self._apply(
+                            {"params": p},
+                            w,
+                            deterministic=False,
+                            rngs={"dropout": dropout_key},
+                        ),
+                        x,
+                        n_steps,
+                        chunk,
+                    )
+                    new_state = state
+                loss = jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return {"params": params, **new_state}, opt_state, loss
 
         return train_step
 

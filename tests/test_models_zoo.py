@@ -126,3 +126,78 @@ def test_dpot_time_agg_modes():
         p = m.init(jax.random.PRNGKey(0), x)
         y = m.apply(p, x)
         assert y.shape == (2, 3, 5, 16)
+
+
+def test_uno_shapes():
+    from tante_tpu.models import UNO
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(64, 128),
+        field_names={0: ["a", "b"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=2,
+    )
+    model = UNO(in_T=3, dset_metadata=md, width=8, factor=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 128, 2))
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 1, 64, 128, 2)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_unet_convnext_shapes():
+    from tante_tpu.models import UNetConvNext
+
+    model = UNetConvNext(
+        in_T=T, dset_metadata=MD, stages=3, blocks_per_stage=1, init_features=8
+    )
+    _, y = _run(model)
+    assert y.shape == (B, 1, 32, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_unet_convnext_param_count_matches_table():
+    """CNextUNet @ init_features 15, blocks 4 should be ~4M (BASELINE.md)."""
+    from tante_tpu.models import UNetConvNext
+
+    model = UNetConvNext(
+        in_T=4, dset_metadata=MD, stages=4, blocks_per_stage=4, init_features=15
+    )
+    params, _ = _run(model)
+    total = n_params(params)
+    assert 3.0e6 < total < 5.5e6, f"CNextUNet params {total} outside ~4M band"
+
+
+def test_attention_unet_shapes_and_batch_stats():
+    from tante_tpu.models import AttentionUNet
+
+    model = AttentionUNet(in_T=T, dset_metadata=MD, depth=4, out_T=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    assert "batch_stats" in variables
+    y = model.apply(variables, x)  # eval: running averages
+    assert y.shape == (B, 2, 32, 64, 3)
+    # train mode mutates batch_stats
+    y2, updates = model.apply(
+        variables, x, deterministic=False, mutable=["batch_stats"]
+    )
+    assert y2.shape == (B, 2, 32, 64, 3)
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(updates["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_attention_unet_param_count_matches_table():
+    """AttUNet @ depth 5 should be ~35M (BASELINE.md)."""
+    from tante_tpu.models import AttentionUNet
+
+    model = AttentionUNet(in_T=4, dset_metadata=MD, depth=5, out_T=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    total = n_params(variables["params"])
+    assert 30e6 < total < 40e6, f"AttUNet params {total} outside ~35M band"

@@ -159,3 +159,26 @@ def test_adaptive_trainer_and_evaler(dm, tmp_path):
     report = evaler.Eval(mode="common")
     assert np.isfinite(report["rt_mean"])
     assert 1 <= report["model_calls_per_rollout"] <= 4
+
+
+def test_batchnorm_model_trains_and_updates_stats(dm, tmp_path):
+    """AttentionUNet exercises the mutable batch_stats path through the
+    compiled rollout (SURVEY.md hard part #5)."""
+    import jax
+
+    from tante_tpu.models import AttentionUNet
+
+    md = dm.train_dataset.metadata
+    model = AttentionUNet(in_T=4, dset_metadata=md, depth=2, out_T=1)
+    trainer = make_trainer(dm, model, tmp_path)
+    assert "batch_stats" in trainer.params
+
+    before = [np.array(x) for x in jax.tree.leaves(trainer.params["batch_stats"])]
+    loader = dm.train_dataloader()
+    loss, _ = trainer.train_one_epoch(1, loader)
+    assert np.isfinite(loss)
+    after = [np.array(x) for x in jax.tree.leaves(trainer.params["batch_stats"])]
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+    val = trainer.validation_loop(dm.val_dataloader())
+    assert np.isfinite(val)
