@@ -67,14 +67,10 @@ def cvit_full_grid_rollout(model, params, x, y_shape, n_steps, num_query_points)
 
     import math
 
-    chunk_t = None
-    # One probe call defines frames per call; CViT emits out_steps frames.
-    # Scan length: ceil(n_steps / out_steps).
     out_steps = int(getattr(model, "output_length", 1) or 1)
     n_calls = math.ceil(n_steps / out_steps)
     _, ys = jax.lax.scan(body, x, None, length=n_calls)
     y_pred = jnp.moveaxis(ys, 0, 1).reshape(b, -1, h, w, c)
-    del chunk_t
     return y_pred[:, :n_steps]
 
 

@@ -201,3 +201,89 @@ def test_attention_unet_param_count_matches_table():
     variables = model.init(jax.random.PRNGKey(1), x)
     total = n_params(variables["params"])
     assert 30e6 < total < 40e6, f"AttUNet params {total} outside ~35M band"
+
+
+def test_avit_shapes_and_normalization():
+    from tante_tpu.models import AViT
+
+    model = AViT(
+        in_T=T,
+        dset_metadata=MD,
+        out_steps=1,
+        patch_size=(16, 16),
+        embed_dim=64,
+        num_heads=4,
+        processor_blocks=2,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE) * 5.0 + 2.0
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x)
+    # Reference emits last min(4, T) frames regardless of out_steps.
+    assert y.shape == (B, 4, 32, 64, 3)
+    assert model.output_length == 4
+    assert np.isfinite(np.asarray(y)).all()
+    # Output scale should track input scale (denormalization applied).
+    assert 0.5 < float(jnp.std(y)) < 50.0
+
+
+def test_avit_t5_bucketing_matches_expectations():
+    from tante_tpu.models.avit import t5_relative_position_bucket
+
+    rel = jnp.arange(-6, 7)[None, :]
+    buckets = np.asarray(t5_relative_position_bucket(rel, 32, 128))[0]
+    # Zero distance -> bucket 0; small positive/negative separated by 16.
+    assert buckets[6] == 0
+    assert buckets[5] != buckets[7]
+    assert (buckets >= 0).all() and (buckets < 32).all()
+
+
+def test_cvit_point_and_grid_outputs():
+    from tante_tpu.models import CViT
+
+    model = CViT(
+        in_T=T,
+        dset_metadata=MD,
+        out_steps=2,
+        patch_size=(1, 8, 8),
+        grid_size=(8, 8),
+        latent_dim=16,
+        emb_dim=32,
+        depth=1,
+        num_heads=4,
+        dec_emb_dim=32,
+        dec_num_heads=4,
+        dec_depth=1,
+        num_mlp_layers=1,
+        mlp_ratio=1,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    coords = jax.random.uniform(jax.random.PRNGKey(2), (17, 2))
+    params = model.init(jax.random.PRNGKey(1), x, coords)
+    y_pts = model.apply(params, x, coords)
+    assert y_pts.shape == (B, 2, 17, 3)
+    y_grid = model.apply(params, x)  # full grid
+    assert y_grid.shape == (B, 2, 32, 64, 3)
+    assert np.isfinite(np.asarray(y_grid)).all()
+
+
+def test_cvit_embedding_types():
+    from tante_tpu.models import CViT
+
+    for emb in ("fourier", "mlp"):
+        model = CViT(
+            in_T=2,
+            dset_metadata=MD,
+            out_steps=1,
+            patch_size=(1, 8, 8),
+            emb_dim=32,
+            depth=1,
+            num_heads=4,
+            dec_emb_dim=32,
+            dec_num_heads=4,
+            embedding_type=emb,
+        )
+        x = jnp.ones((1, 2, 32, 64, 3))
+        coords = jnp.zeros((5, 2))
+        params = model.init(jax.random.PRNGKey(0), x, coords)
+        y = model.apply(params, x, coords)
+        assert y.shape == (1, 1, 5, 3)

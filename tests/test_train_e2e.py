@@ -182,3 +182,50 @@ def test_batchnorm_model_trains_and_updates_stats(dm, tmp_path):
 
     val = trainer.validation_loop(dm.val_dataloader())
     assert np.isfinite(val)
+
+
+def test_cvit_trainer_and_evaler(dm, tmp_path):
+    """CViT branch: random query-point training + chunked full-grid eval
+    (reference trainer/trainer.py:161-172, evaler.py:140-165)."""
+    from tante_tpu.models import CViT
+
+    md = dm.train_dataset.metadata
+    model = CViT(
+        in_T=4,
+        dset_metadata=md,
+        out_steps=2,
+        patch_size=(1, 8, 8),
+        grid_size=(8, 8),
+        latent_dim=16,
+        emb_dim=32,
+        depth=1,
+        num_heads=4,
+        dec_emb_dim=32,
+        dec_num_heads=4,
+        dec_depth=1,
+    )
+    trainer = make_trainer(dm, model, tmp_path, cvit=True, num_query_points=64)
+    loader = dm.train_dataloader()
+    loss, _ = trainer.train_one_epoch(1, loader)
+    assert np.isfinite(loss)
+    val = trainer.validation_loop(dm.val_dataloader())
+    assert np.isfinite(val)
+    trainer.save_model(1, val, "recent")
+
+    evaler = Evaler(
+        checkpoint_folder=str(tmp_path),
+        formatter="channels_first_default",
+        model=model,
+        datamodule=dm,
+        eval_loss_fn1=MSE(),
+        eval_loss_fn2=L2RE(),
+        eval_loss_fn3=NNMSE(),
+        eval_loss_fn4=VRMSE(),
+        checkpoint_path=os.path.join(str(tmp_path), "recent"),
+        n_steps_rollout=4,
+        batch_size=2,
+        cvit=True,
+        num_query_points=64,
+    )
+    report = evaler.Eval(mode="common")
+    assert all(np.isfinite(v) for v in report["metrics"].values())
