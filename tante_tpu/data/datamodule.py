@@ -16,6 +16,7 @@ the seam where a different layout could be injected.
 
 from __future__ import annotations
 
+import os
 from abc import ABC, abstractmethod
 from typing import Any, Dict, List, Literal, Optional, Tuple
 
@@ -53,6 +54,8 @@ class TanteDataModule(AbstractDataModule):
         rank: int = 0,
         seed: int = 0,
         sharding: Optional[Any] = None,
+        use_wellpack: bool = False,
+        wellpack_cache_dir: Optional[str] = None,
         dataset_kws: Optional[Dict[Literal["train", "val", "test"], Dict[str, Any]]] = None,
         **_unused: Any,
     ):
@@ -80,12 +83,46 @@ class TanteDataModule(AbstractDataModule):
         self.rank = rank
         self.seed = seed
         self.sharding = sharding
+        # Native (C++) batch-assembly fast path; falls back to the Python
+        # loader when the shared library can't be built.
+        self.use_wellpack = use_wellpack
+        self.wellpack_cache_dir = wellpack_cache_dir or os.path.join(
+            base_path, dataset_name, "wellpack_cache"
+        )
+        self._wellpack_paths: Dict[str, str] = {}
 
     @property
     def is_distributed(self) -> bool:
         return self.world_size > 1
 
-    def _loader(self, dataset, shuffle: bool) -> DataLoader:
+    def _wellpack_loader(self, dataset, split: str, shuffle: bool):
+        from tante_tpu.data.wellpack import WellPackLoader, build_cache, get_library
+
+        if get_library() is None:
+            return None
+        key = f"{split}_{dataset.n_steps_output}"
+        if key not in self._wellpack_paths:
+            path = os.path.join(self.wellpack_cache_dir, f"{key}.wpk")
+            if not os.path.exists(path):
+                build_cache(dataset, path)
+            self._wellpack_paths[key] = path
+        return WellPackLoader(
+            self._wellpack_paths[key],
+            n_steps_input=dataset.n_steps_input,
+            n_steps_output=dataset.n_steps_output,
+            dt_stride=dataset.dt_stride,
+            batch_size=self.batch_size,
+            shuffle=shuffle,
+            seed=self.seed,
+            num_threads=self.data_workers,
+            sharding=self.sharding,
+        )
+
+    def _loader(self, dataset, shuffle: bool, split: str = "train"):
+        if self.use_wellpack:
+            loader = self._wellpack_loader(dataset, split, shuffle)
+            if loader is not None:
+                return loader
         return DataLoader(
             dataset,
             batch_size=self.batch_size,
@@ -97,14 +134,14 @@ class TanteDataModule(AbstractDataModule):
         )
 
     def train_dataloader(self) -> DataLoader:
-        return self._loader(self.train_dataset, shuffle=True)
+        return self._loader(self.train_dataset, shuffle=True, split="train")
 
     def val_dataloader(self) -> DataLoader:
         # Reference shuffles val too (data/datamodule.py:134).
-        return self._loader(self.val_dataset, shuffle=True)
+        return self._loader(self.val_dataset, shuffle=True, split="valid")
 
     def test_dataloader(self) -> DataLoader:
-        return self._loader(self.test_dataset, shuffle=False)
+        return self._loader(self.test_dataset, shuffle=False, split="test")
 
     def __repr__(self) -> str:
         return f"<{self.__class__.__name__}: {self.dataset_name} on {self.base_path}>"

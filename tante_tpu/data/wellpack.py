@@ -1,0 +1,235 @@
+"""WellPack: native (C++) batch-assembly pipeline over a flat cache.
+
+Two pieces:
+
+1. ``build_cache(dataset, path)`` — host-side one-time conversion: decode
+   each HDF5 trajectory through the existing ``TanteDataset`` field
+   reconstruction (normalization included) and write a flat float32 file
+   (header + contiguous (n_traj, T, H, W, C) payload).  Sliding windows
+   overlap T-fold, so paying HDF5 chunk decode once instead of per window
+   removes the input pipeline's dominant repeated cost (reference hot path:
+   ``data/dataset.py:190-243`` under DataLoader workers).
+
+2. ``WellPackLoader`` — ctypes front-end to ``native/wellpack.cpp``: a C++
+   thread pool assembles (input, output) window batches from the mmapped
+   cache into a ring of reusable host buffers, entirely outside the GIL;
+   Python wraps each ready slot as numpy, `jax.device_put`s it (optionally
+   with a dp sharding) and releases the slot.
+
+The pure-Python ``DataLoader`` remains the fallback when the shared library
+cannot be built (no g++).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+_MAGIC = 0x57454C4C5041434B
+_HEADER = struct.Struct("<Qqqqqq")  # magic, n_traj, T, H, W, C
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libwellpack.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_library() -> Optional[str]:
+    src = os.path.join(_NATIVE_DIR, "wellpack.cpp")
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
+             "-o", _LIB_PATH, src],
+            check=True,
+            capture_output=True,
+        )
+        return _LIB_PATH
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def get_library() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native engine; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and _build_library() is None:
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.wp_open.restype = ctypes.c_void_p
+    lib.wp_open.argtypes = [ctypes.c_char_p]
+    lib.wp_shape.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.wp_close.argtypes = [ctypes.c_void_p]
+    lib.wp_loader_create.restype = ctypes.c_void_p
+    lib.wp_loader_create.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.wp_loader_next.restype = ctypes.c_int
+    lib.wp_loader_next.argtypes = [ctypes.c_void_p]
+    lib.wp_loader_buffers.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+    ]
+    lib.wp_loader_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.wp_loader_n_batches.restype = ctypes.c_int64
+    lib.wp_loader_n_batches.argtypes = [ctypes.c_void_p]
+    lib.wp_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def build_cache(dataset, path: str) -> str:
+    """Decode + normalize every trajectory of a TanteDataset split into a
+    flat WellPack cache file. Requires a single uniform (T, H, W, C)."""
+    md = dataset.metadata
+    h, w = md.spatial_resolution
+    c = md.n_fields
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    steps = set(md.n_steps_per_trajectory)
+    assert len(steps) == 1, "WellPack requires uniform trajectory lengths"
+    t_total = steps.pop()
+    n_traj_total = sum(md.n_trajectories_per_file)
+
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(_MAGIC, n_traj_total, t_total, h, w, c))
+        for file_idx in range(md.n_files):
+            hf = dataset._file(file_idx)
+            for sample_idx in range(md.n_trajectories_per_file[file_idx]):
+                blocks = dataset._reconstruct_fields(
+                    hf, sample_idx, 0, t_total, 1
+                )
+                traj = np.concatenate(blocks, axis=-1).astype(np.float32)
+                assert traj.shape == (t_total, h, w, c), traj.shape
+                f.write(np.ascontiguousarray(traj).tobytes())
+    return path
+
+
+class WellPackLoader:
+    """Native drop-in for ``DataLoader`` over a WellPack cache."""
+
+    def __init__(
+        self,
+        cache_path: str,
+        n_steps_input: int,
+        n_steps_output: int,
+        dt_stride: int = 1,
+        batch_size: int = 4,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_threads: int = 4,
+        ring_slots: int = 3,
+        sharding: Optional[Any] = None,
+    ):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native wellpack library unavailable (no g++?)")
+        self._lib = lib
+        self._cache = lib.wp_open(cache_path.encode())
+        if not self._cache:
+            raise IOError(f"cannot open WellPack cache {cache_path}")
+        shape = (ctypes.c_int64 * 5)()
+        lib.wp_shape(self._cache, shape)
+        self.n_traj, self.t_total, self.h, self.w, self.c = [int(v) for v in shape]
+        self.n_steps_input = n_steps_input
+        self.n_steps_output = n_steps_output
+        self.dt_stride = dt_stride
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.ring_slots = ring_slots
+        self.sharding = sharding
+        self._epoch = 0
+
+        from tante_tpu.data.dataset import compute_windows
+
+        self.windows_per_traj = compute_windows(
+            self.t_total, n_steps_input, n_steps_output, dt_stride
+        )
+        assert self.windows_per_traj > 0
+        self.n_items = self.n_traj * self.windows_per_traj
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        return self.n_items // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        order = np.arange(self.n_items, dtype=np.int64)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        traj = (order // self.windows_per_traj).astype(np.int64)
+        time = (order % self.windows_per_traj).astype(np.int64)
+
+        lib = self._lib
+        loader = lib.wp_loader_create(
+            self._cache,
+            traj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            time.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.n_items,
+            self.batch_size,
+            self.n_steps_input,
+            self.n_steps_output,
+            self.dt_stride,
+            self.num_threads,
+            self.ring_slots,
+        )
+        in_shape = (self.batch_size, self.n_steps_input, self.h, self.w, self.c)
+        out_shape = (self.batch_size, self.n_steps_output, self.h, self.w, self.c)
+        try:
+            n_batches = lib.wp_loader_n_batches(loader)
+            for _ in range(n_batches):
+                slot = lib.wp_loader_next(loader)
+                if slot < 0:
+                    break
+                in_p = ctypes.POINTER(ctypes.c_float)()
+                out_p = ctypes.POINTER(ctypes.c_float)()
+                lib.wp_loader_buffers(loader, slot, ctypes.byref(in_p), ctypes.byref(out_p))
+                x_np = np.ctypeslib.as_array(in_p, shape=in_shape)
+                y_np = np.ctypeslib.as_array(out_p, shape=out_shape)
+                # Snapshot the ring slot before recycling: jax.device_put can
+                # alias host numpy buffers (zero-copy on CPU; async staging on
+                # accelerators), so handing the live slot to JAX and then
+                # letting C++ overwrite it would corrupt batches.
+                batch = {
+                    "input": jax.device_put(x_np.copy(), self.sharding),
+                    "output": jax.device_put(y_np.copy(), self.sharding),
+                }
+                lib.wp_loader_release(loader, slot)
+                yield batch
+        finally:
+            lib.wp_loader_destroy(loader)
+
+    def close(self) -> None:
+        if self._cache:
+            self._lib.wp_close(self._cache)
+            self._cache = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
