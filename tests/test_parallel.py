@@ -60,3 +60,56 @@ def test_graft_entry_compiles():
     fn, (params, x) = g.entry()
     out = jax.jit(fn)(params, x)
     assert out.shape == (2, 1, 64, 128, 4)
+
+
+@requires_8
+def test_halo_exchange_periodic():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tante_tpu.parallel.halo import halo_exchange
+
+    mesh = make_mesh(4, ("sp",), (4,), devices=cpu_devices[:4])
+    x = jnp.arange(4 * 16 * 3 * 2, dtype=jnp.float32).reshape(4, 16, 3, 2)
+
+    def fn(x_loc):
+        return halo_exchange(x_loc, 1, "sp", periodic=True)
+
+    y = shard_map(
+        fn, mesh=mesh, in_specs=P(None, "sp", None, None), out_specs=P(None, "sp", None, None)
+    )(x)
+    # Each 4-row shard becomes 6 rows -> global H = 24.
+    assert y.shape == (4, 24, 3, 2)
+    y = np.asarray(y)
+    # First shard's halo-top row must be the globally last row (periodic).
+    np.testing.assert_allclose(y[:, 0], np.asarray(x)[:, -1])
+    np.testing.assert_allclose(y[:, 1:5], np.asarray(x)[:, 0:4])
+
+
+@requires_8
+def test_sharded_conv_matches_unsharded():
+    from tante_tpu.parallel.halo import sharded_conv2d, spatial_sharding
+
+    mesh = make_mesh(4, ("sp",), (4,), devices=cpu_devices[:4])
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 32, 12, 3))
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 5)) * 0.1
+
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    got = sharded_conv2d(mesh, kernel, xs, periodic=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@requires_8
+def test_sharded_rfft2_matches_unsharded():
+    from tante_tpu.parallel.halo import sharded_rfft2, spatial_sharding
+
+    mesh = make_mesh(4, ("sp",), (4,), devices=cpu_devices[:4])
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 8, 3))
+    want = jnp.fft.rfft2(x, axes=(1, 2), norm="ortho")
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    got = sharded_rfft2(mesh, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
