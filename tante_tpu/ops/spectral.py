@@ -21,12 +21,23 @@ from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 
 
 def spectral_conv2d(
-    x: jnp.ndarray, weight: jnp.ndarray, modes1: int, modes2: int
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    modes1: int,
+    modes2: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Truncated-mode spectral convolution.
 
     x: (B, H, W, Cin) real; weight: (Cin, Cout, m1, m2, 2) real ([re, im]).
     Returns (B, H, W, Cout) real.
+
+    ``use_pallas`` routes the mode-space channel mixing through the fused
+    Pallas kernel (ops/pallas_spectral.py).  Measured on v5e: parity with
+    XLA at C >= 128 (1.31 vs 1.31 ms @ B32 M1024 C256), slightly behind at
+    small channel counts (1.99 vs 1.63 ms @ B4 M220 C48) because channels
+    pad to the 128-lane boundary — hence XLA is the default and the kernel
+    is the scaling path for wide models.
     """
     h, w = x.shape[-3], x.shape[-2]
     x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")  # (B, H, Wf, Cin)
@@ -37,12 +48,27 @@ def spectral_conv2d(
         y_ft = jnp.zeros((*x.shape[:-1], weight.shape[1]), dtype=x_ft.dtype)
         return jnp.fft.irfft2(y_ft, s=(h, w), axes=(-3, -2), norm="ortho")
 
-    w_c = (weight[..., 0] + 1j * weight[..., 1])[:, :, :m1, :m2]  # (Cin,Cout,m1,m2)
-
     top = x_ft[:, :m1, :m2, :]  # (B, m1, m2, Cin)
     bot = x_ft[:, -m1:, :m2, :]
-    out_top = jnp.einsum("bijc,coij->bijo", top, w_c)
-    out_bot = jnp.einsum("bijc,coij->bijo", bot, w_c)
+    if use_pallas:
+        from tante_tpu.ops.pallas_spectral import spectral_mode_matmul
+
+        bsz = x.shape[0]
+        c_in, c_out_ = weight.shape[0], weight.shape[1]
+        # Both corners share the weight: stack them into one mode batch.
+        corners = jnp.concatenate([top, bot], axis=0)  # (2B, m1, m2, Cin)
+        xr = corners.real.reshape(2 * bsz, m1 * m2, c_in)
+        xi = corners.imag.reshape(2 * bsz, m1 * m2, c_in)
+        w_crop = weight[:, :, :m1, :m2]  # (Cin, Cout, m1, m2, 2)
+        w_re = jnp.transpose(w_crop[..., 0], (2, 3, 0, 1)).reshape(m1 * m2, c_in, c_out_)
+        w_im = jnp.transpose(w_crop[..., 1], (2, 3, 0, 1)).reshape(m1 * m2, c_in, c_out_)
+        o_re, o_im = spectral_mode_matmul(xr, xi, w_re, w_im)
+        out = (o_re + 1j * o_im).reshape(2 * bsz, m1, m2, c_out_)
+        out_top, out_bot = out[:bsz], out[bsz:]
+    else:
+        w_c = (weight[..., 0] + 1j * weight[..., 1])[:, :, :m1, :m2]
+        out_top = jnp.einsum("bijc,coij->bijo", top, w_c)
+        out_bot = jnp.einsum("bijc,coij->bijo", bot, w_c)
 
     c_out = weight.shape[1]
     y_ft = jnp.zeros((x.shape[0], h, wf, c_out), dtype=x_ft.dtype)

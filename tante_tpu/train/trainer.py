@@ -298,8 +298,10 @@ class Trainer:
     def train_one_epoch(self, epoch: int, dataloader) -> tuple:
         epoch_loss = 0.0
         n_batches = max(1, len(dataloader))
+        batch_frames = 0
         start = time.time()
         for batch in dataloader:
+            batch_frames = batch["input"].shape[0] * self.n_steps_output
             (x,), y = self.formatter.process_input(batch)
             if self.cvit:
                 h, w = y.shape[2], y.shape[3]
@@ -321,9 +323,18 @@ class Trainer:
                 )
             self.global_step += 1
             epoch_loss += float(loss) / n_batches
+        elapsed = time.time() - start
+        n_chips = max(1, len(getattr(jax, "devices")()))
         logs = {
-            "time_per_train_iter": (time.time() - start) / n_batches,
+            "time_per_train_iter": elapsed / n_batches,
             "train_loss": epoch_loss,
+            # North-star throughput: optimizer steps and emitted frames per
+            # second per chip (SURVEY.md section 5, observability).
+            "steps_per_sec_per_chip": n_batches / elapsed / n_chips,
+            "frames_per_sec_per_chip": n_batches
+            * batch_frames
+            / elapsed
+            / n_chips,
             "lr": float(self.lr_schedule(self.global_step))
             if callable(self.lr_schedule)
             else self.lr_schedule,

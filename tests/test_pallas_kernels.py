@@ -1,0 +1,62 @@
+"""Pallas kernel numerics (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tante_tpu.ops.pallas_spectral import (
+    spectral_mode_matmul,
+    spectral_mode_matmul_xla,
+)
+
+
+def test_spectral_mode_matmul_matches_xla():
+    key = jax.random.PRNGKey(0)
+    b, m, ci, co = 4, 22, 48, 48  # non-multiples exercise padding
+    ks = jax.random.split(key, 4)
+    x_re = jax.random.normal(ks[0], (b, m, ci))
+    x_im = jax.random.normal(ks[1], (b, m, ci))
+    w_re = jax.random.normal(ks[2], (m, ci, co)) * 0.1
+    w_im = jax.random.normal(ks[3], (m, ci, co)) * 0.1
+
+    want_re, want_im = spectral_mode_matmul_xla(x_re, x_im, w_re, w_im)
+    got_re, got_im = spectral_mode_matmul(
+        x_re, x_im, w_re, w_im, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(want_re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im), atol=1e-4)
+
+
+def test_spectral_mode_matmul_complex_semantics():
+    """(a+bi)(c+di) = (ac-bd) + (ad+bc)i on a 1-mode toy case."""
+    x_re = jnp.asarray([[[2.0]]])
+    x_im = jnp.asarray([[[3.0]]])
+    w_re = jnp.asarray([[[5.0]]])
+    w_im = jnp.asarray([[[7.0]]])
+    o_re, o_im = spectral_mode_matmul(x_re, x_im, w_re, w_im, interpret=True)
+    assert float(o_re[0, 0, 0]) == 2 * 5 - 3 * 7
+    assert float(o_im[0, 0, 0]) == 2 * 7 + 3 * 5
+
+
+def test_spectral_conv2d_pallas_path_matches_xla():
+    import jax
+    import jax.numpy as jnp
+    from unittest import mock
+
+    from tante_tpu.ops import pallas_spectral
+    from tante_tpu.ops.spectral import spectral_conv2d
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 24, 5))
+    w = jax.random.normal(jax.random.PRNGKey(1), (5, 7, 4, 6, 2)) * 0.1
+
+    want = spectral_conv2d(x, w, 4, 6, use_pallas=False)
+    # Route the pallas path through interpret mode on CPU.
+    orig = pallas_spectral.spectral_mode_matmul
+    with mock.patch.object(
+        pallas_spectral,
+        "spectral_mode_matmul",
+        lambda *a, **k: orig(*a, interpret=True, **k),
+    ):
+        got = spectral_conv2d(x, w, 4, 6, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
