@@ -38,10 +38,10 @@ WARMUP_ITERS = 2
 MEASURE_ITERS = 8
 
 
-def build():
+def build(latent_cache: bool = True):
     from tante_tpu.data.dataset import TanteMetadata
     from tante_tpu.models import TANTE
-    from tante_tpu.train.rollout import rollout_fixed
+    from tante_tpu.train.rollout import rollout_fixed, rollout_tante_latent
 
     md = TanteMetadata(
         dataset_name="bench",
@@ -74,9 +74,18 @@ def build():
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    @jax.jit
-    def rollout(params, x):
-        return rollout_fixed(lambda w: model.apply(params, w), x, N_STEPS, 1)
+    if latent_cache:
+        # Latent-caching rollout: each frame encoded exactly once
+        # (equivalence-tested in tests/test_rollout.py).
+        @jax.jit
+        def rollout(params, x):
+            return rollout_tante_latent(model, params, x, N_STEPS)
+
+    else:
+
+        @jax.jit
+        def rollout(params, x):
+            return rollout_fixed(lambda w: model.apply(params, w), x, N_STEPS, 1)
 
     return rollout, params, x
 

@@ -187,18 +187,28 @@ class TANTE(nn.Module):
         """Static frame-slot count for adaptive calls with budget out_T."""
         return max(1, int(math.floor(out_T + 1e-3)))
 
-    def __call__(self, inputs: jnp.ndarray, out_T: float = 1, deterministic: bool = True):
-        """inputs: (B, T, H, W, C) channels-last.
+    def encode(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """Per-frame latent encoding: (B, K, H, W, C) -> (B, K, H_p, W_p, C).
 
-        Fixed mode (deg=True): returns (B, output_length, H, W, C).
-        Adaptive mode: returns ((B, n_frames(out_T), H, W, C), R_t (B,)).
+        Frames are encoded independently (the encoder folds time into the
+        batch axis), so rollouts can cache latents and encode only the new
+        frame per call (``train/rollout.py:rollout_tante_latent``).
         """
-        if inputs.shape[1] != self.in_T:
-            inputs = inputs[:, -self.in_T :]
-        b = inputs.shape[0]
+        return self.encoder(inputs)
 
-        x = self.encoder(inputs)  # (B, T, H_p, W_p, C)
-        x = self.t_encode(x, self.t_seq)
+    def head(
+        self,
+        latents: jnp.ndarray,
+        u_last: jnp.ndarray,
+        out_T: float = 1,
+        deterministic: bool = True,
+    ):
+        """Backbone + Taylor prediction from cached latents.
+
+        latents: (B, T, H_p, W_p, C); u_last: (B, 1, H, W, C_phys) — the
+        physical last frame (the Taylor expansion point u(0)).
+        """
+        x = self.t_encode(latents, self.t_seq)
         x = x + self.s_emb  # (1, H_p, W_p, C) broadcasts over (B, T)
         x = x + self.t_emb[:, :, None, None, :]  # (1, T, 1, 1, C)
 
@@ -227,9 +237,20 @@ class TANTE(nn.Module):
             dtype=jnp.float32,
         )[None, :]
         coeffs = (steps**orders / fact).astype(derivs.dtype)  # (n_out, K)
-        outputs = jnp.einsum("ik,bkhwc->bihwc", coeffs, derivs) + inputs[:, -1:]
+        outputs = jnp.einsum("ik,bkhwc->bihwc", coeffs, derivs) + u_last
 
         if self.deg:
             return outputs
         r_t = jnp.stack(r_ts, axis=1)  # (B, K)
         return outputs, jnp.mean(r_t, axis=1)  # (B,)
+
+    def __call__(self, inputs: jnp.ndarray, out_T: float = 1, deterministic: bool = True):
+        """inputs: (B, T, H, W, C) channels-last.
+
+        Fixed mode (deg=True): returns (B, output_length, H, W, C).
+        Adaptive mode: returns ((B, n_frames(out_T), H, W, C), R_t (B,)).
+        """
+        if inputs.shape[1] != self.in_T:
+            inputs = inputs[:, -self.in_T :]
+        latents = self.encode(inputs)  # (B, T, H_p, W_p, C)
+        return self.head(latents, inputs[:, -1:], out_T, deterministic)

@@ -124,3 +124,39 @@ def test_rollout_fixed_is_differentiable():
     g = jax.grad(loss)(w0)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_rollout_tante_latent_matches_standard():
+    """Latent-caching rollout must equal the recompute-everything rollout."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.train.rollout import rollout_tante_latent
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 32),
+        field_names={0: ["a", "b", "c"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=2,
+        attn_axes="TH-W",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=2,
+        deg=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    want = rollout_fixed(lambda w: model.apply(params, w), x, 6, 2)
+    got = rollout_tante_latent(model, params, x, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
