@@ -81,19 +81,35 @@ class DataLoader:
                 k: np.stack([it[k] for it in items], axis=0) for k in items[0]
             }
 
+        multihost = jax.process_count() > 1 and self.sharding is not None
+
+        def to_device(batch_np):
+            if multihost:
+                # Per-host loading: this process only read its slice of the
+                # global batch; assemble the global sharded array from the
+                # process-local shard (replaces DistributedSampler ranks).
+                return {
+                    k: jax.make_array_from_process_local_data(self.sharding, v)
+                    for k, v in batch_np.items()
+                }
+            if self.sharding is not None:
+                return {k: jax.device_put(v, self.sharding) for k, v in batch_np.items()}
+            return {k: jax.device_put(v) for k, v in batch_np.items()}
+
+        def local_slice(idx):
+            if not multihost:
+                return idx
+            per_host = len(idx) // jax.process_count()
+            start = jax.process_index() * per_host
+            return idx[start : start + per_host]
+
         def producer():
             try:
                 for idx in batches:
                     if stop.is_set():
                         break
-                    batch_np = collate(idx)
-                    batch = {
-                        k: jax.device_put(v, self.sharding)
-                        if self.sharding is not None
-                        else jax.device_put(v)
-                        for k, v in batch_np.items()
-                    }
-                    out_q.put(batch)
+                    batch_np = collate(local_slice(idx))
+                    out_q.put(to_device(batch_np))
             finally:
                 out_q.put(None)
 

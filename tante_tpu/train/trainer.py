@@ -77,6 +77,8 @@ class Trainer:
         seed: int = 0,
         metric_logger: Optional[MetricLogger] = None,
         grad_clip: str = "norm",
+        mesh: Optional[Any] = None,
+        data_parallel: bool = False,
         **_unused: Any,
     ):
         self.checkpoint_folder = checkpoint_folder
@@ -118,6 +120,28 @@ class Trainer:
             self.params = jax.jit(self.model.init)(init_key, dummy, dummy_coords)
         else:
             self.params = jax.jit(self.model.init)(init_key, dummy)
+
+        # ---- mesh / data parallelism -----------------------------------
+        # One jax.sharding.Mesh replaces the reference's DistributedSampler
+        # plumbing (SURVEY.md section 2.6): batches are sharded over 'dp',
+        # params are replicated (tp-sharded where the mesh has a 'tp' axis),
+        # and XLA inserts the gradient psum under jit.
+        if mesh is None and data_parallel and len(jax.devices()) > 1:
+            from tante_tpu.parallel import make_mesh
+
+            mesh = make_mesh(axis_names=("dp",))
+        self.mesh = mesh
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            from tante_tpu.parallel import batch_sharding, shard_params
+
+            self.batch_sharding = batch_sharding(mesh)
+            if hasattr(datamodule, "sharding"):
+                datamodule.sharding = self.batch_sharding
+            self.params = shard_params(
+                self.params, mesh, enable_tp="tp" in mesh.axis_names
+            )
+        else:
+            self.batch_sharding = None
 
         # ---- optimizer -------------------------------------------------
         # self.params is the full variables dict ({'params', maybe

@@ -113,3 +113,52 @@ def test_sharded_rfft2_matches_unsharded():
     xs = jax.device_put(x, spatial_sharding(mesh))
     got = sharded_rfft2(mesh, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@requires_8
+def test_trainer_data_parallel_matches_single_device(well_root, tmp_path):
+    """Trainer with a dp mesh must produce (numerically) the same training
+    trajectory as single-device: same batches, psum-reduced grads."""
+    from tante_tpu.data import TanteDataModule
+    from tante_tpu.models import FNO
+    from tante_tpu.train import MSE, L2RE, AdamW, Trainer
+
+    def build(mesh):
+        dm = TanteDataModule(
+            base_path=well_root,
+            dataset_name="synthetic_waves",
+            batch_size=8,
+            n_steps_input=4,
+            n_steps_output=2,
+            eval_steps_output=4,
+            data_workers=2,
+            seed=0,
+        )
+        md = dm.train_dataset.metadata
+        model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
+        return dm, Trainer(
+            checkpoint_folder=str(tmp_path / ("dp" if mesh else "single")),
+            formatter="channels_first_default",
+            model=model,
+            datamodule=dm,
+            optimizer=AdamW(lr=1e-3),
+            train_loss_fn=MSE(),
+            eval_loss_fn=L2RE(),
+            max_epoch=1,
+            n_steps_output=2,
+            n_steps_rollout=4,
+            seed=0,
+            mesh=mesh,
+        )
+
+    mesh = make_mesh(8, ("dp",), (8,), devices=cpu_devices)
+    dm1, t1 = build(None)
+    dm8, t8 = build(mesh)
+
+    loss1, _ = t1.train_one_epoch(1, dm1.train_dataloader())
+    loss8, _ = t8.train_one_epoch(1, dm8.train_dataloader())
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-4)
+
+    # Sharded-input path actually sharded the batch over 8 devices.
+    batch = next(iter(dm8.train_dataloader()))
+    assert len(batch["input"].sharding.device_set) == 8
