@@ -60,3 +60,51 @@ def test_spectral_conv2d_pallas_path_matches_xla():
     ):
         got = spectral_conv2d(x, w, 4, 6, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_packed_head_attention_matches_standard():
+    import jax
+    import jax.numpy as jnp
+
+    from tante_tpu.ops.attention import packed_head_attention
+
+    def standard(q, k, v, causal=False):
+        d = q.shape[-1]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * d**-0.5, k)
+        if causal:
+            l = logits.shape[-1]
+            mask = jnp.tril(jnp.ones((l, l), bool))
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(logits.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+    key = jax.random.PRNGKey(0)
+    for causal in (False, True):
+        for (b, l, h, d) in [(6, 16, 8, 32), (3, 4, 4, 16), (2, 48, 8, 32)]:
+            ks = jax.random.split(key, 3)
+            q = jax.random.normal(ks[0], (b, l, h, d))
+            k = jax.random.normal(ks[1], (b, l, h, d))
+            v = jax.random.normal(ks[2], (b, l, h, d))
+            got = packed_head_attention(q, k, v, causal=causal)
+            want = standard(q, k, v, causal=causal)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5,
+                err_msg=f"causal={causal} shape={(b,l,h,d)}",
+            )
+
+
+def test_mha_packed_path_equals_fallback():
+    import jax
+    import jax.numpy as jnp
+    from unittest import mock
+
+    from tante_tpu.ops import attention as attn_mod
+    from tante_tpu.ops.attention import MultiheadAttention
+
+    mha = MultiheadAttention(embed_dim=32, num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32))
+    params = mha.init(jax.random.PRNGKey(1), x)
+    got = mha.apply(params, x, causal=True)  # packed (4*10 <= 512)
+    with mock.patch.object(attn_mod, "PACKED_ATTENTION_MAX_TOKENS", 0):
+        want = mha.apply(params, x, causal=True)  # fallback
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
