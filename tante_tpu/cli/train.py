@@ -78,6 +78,15 @@ def main(argv=None):
         metric_logger=metric_logger,
     )
 
+    # Model summary (reference uses torchinfo at train.py:36).
+    import jax as _jax
+
+    n_params = sum(
+        int(p.size)
+        for p in _jax.tree.leaves(trainer.params.get("params", trainer.params))
+    )
+    logger.info("Model parameters: %s", f"{n_params:,}")
+
     with open(osp.join(checkpoint_folder, "extended_config.yaml"), "w") as f:
         f.write(cfg.to_yaml())
 

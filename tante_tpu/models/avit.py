@@ -138,6 +138,13 @@ class ContinuousPositionBias1D(nn.Module):
 
 def _heads_attention(q, k, v, bias=None):
     """q, k, v: (B, L, H, D) -> (B, L, H, D); bias (1, H, Lq, Lk)."""
+    from tante_tpu.ops.attention import (
+        PACKED_ATTENTION_MAX_TOKENS,
+        packed_head_attention,
+    )
+
+    if bias is None and q.shape[-2] * q.shape[-3] <= PACKED_ATTENTION_MAX_TOKENS:
+        return packed_head_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
     if bias is not None:
