@@ -14,8 +14,6 @@ import argparse
 import logging
 import os.path as osp
 
-import jax.numpy as jnp
-
 from tante_tpu.config import instantiate, load_config, set_ckpt
 from tante_tpu.utils.logging import MetricLogger
 from tante_tpu.utils.seeding import set_seed

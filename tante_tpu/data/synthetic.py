@@ -15,7 +15,7 @@ optional t2 tensor field.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import h5py as h5
 import numpy as np

@@ -8,8 +8,7 @@ time series (``models/tante.py:232-285``), plus a torch-default Dense/MLP.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

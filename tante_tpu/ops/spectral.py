@@ -12,8 +12,6 @@ treats them as ordinary parameters.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

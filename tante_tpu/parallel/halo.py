@@ -20,9 +20,6 @@ the provided wrappers that set one up.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -15,7 +15,7 @@ nothing here issues comms by hand.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

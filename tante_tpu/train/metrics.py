@@ -20,8 +20,6 @@ instead of Python ``if``s so the whole loss stays jittable:
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax.numpy as jnp
 
 _SPATIAL = (-3, -2)  # (H, W) of (B, T, H, W, C)

@@ -23,7 +23,6 @@ passed into the jitted step (static shapes).
 from __future__ import annotations
 
 import logging
-import os
 import time
 from functools import partial
 from typing import Any, Callable, Optional

@@ -86,17 +86,17 @@ class CheckpointManager:
         }
 
     def restore_params(self, path: str, params_template: Any) -> Any:
-        """Eval-style restore of model weights only (``trainer/evaler.py:113-118``)."""
-        payload = self._ckptr.metadata(path)
-        del payload
-        # Restore the full tree but only return params; opt_state template is
-        # unknown at eval time, so use partial restore via composite args.
-        restored = ocp.StandardCheckpointer().restore(
-            path,
-            None,
-        )
+        """Eval-style restore of model weights only (``trainer/evaler.py:113-118``).
+
+        The opt_state template is unknown at eval time, so the checkpoint is
+        read without a target tree and only the params collection is mapped
+        back onto the template's dtypes.
+        """
+        restored = self._ckptr.restore(path, None)
         return jax.tree.map(
-            lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype) if hasattr(t, "dtype") else r,
+            lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype)
+            if hasattr(t, "dtype")
+            else r,
             params_template,
             restored["params"],
         )

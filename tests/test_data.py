@@ -105,3 +105,68 @@ def test_loader_shuffle_deterministic(well_root):
     l1.set_epoch(1)
     b3 = next(iter(l1))
     assert not np.allclose(np.asarray(b1["input"]), np.asarray(b3["input"]))
+
+
+def test_multi_file_dataset_indexing(tmp_path):
+    """searchsorted across files with the -1 first offset (reference
+    data/dataset.py:160,229-243): items must map to the right file."""
+    from tante_tpu.data.synthetic import make_well_dataset
+    from tante_tpu.data import TanteDataset
+
+    make_well_dataset(
+        str(tmp_path),
+        dataset_name="multi",
+        splits=("train",),
+        n_files_per_split=3,
+        n_trajectories=2,
+        n_steps=12,
+        resolution=(8, 16),
+        seed=5,
+    )
+    ds = TanteDataset(
+        base_path=str(tmp_path),
+        dataset_name="multi",
+        split_name="train",
+        n_steps_input=2,
+        n_steps_output=1,
+    )
+    windows = 12 - (1 + (2 + 1 - 1)) + 1  # compute_windows(12, 2, 1, 1)
+    assert len(ds) == 3 * 2 * windows
+    # Every index readable, shapes consistent; file boundaries exercised.
+    for idx in [0, windows - 1, windows, 2 * windows, len(ds) - 1]:
+        item = ds[idx]
+        assert item["input"].shape == (2, 8, 16, 3)
+    # Items from different files differ (different random trajectories).
+    a = ds[0]["input"]
+    b = ds[2 * 2 * windows]["input"]  # third file
+    assert not np.allclose(a, b)
+
+
+def test_include_exclude_filters(tmp_path):
+    from tante_tpu.data.synthetic import make_well_dataset
+    from tante_tpu.data import TanteDataset
+
+    make_well_dataset(
+        str(tmp_path),
+        dataset_name="filt",
+        splits=("train",),
+        n_files_per_split=3,
+        n_trajectories=1,
+        n_steps=8,
+        resolution=(8, 16),
+    )
+    ds_all = TanteDataset(
+        base_path=str(tmp_path), dataset_name="filt", split_name="train",
+        n_steps_input=2, n_steps_output=1,
+    )
+    ds_inc = TanteDataset(
+        base_path=str(tmp_path), dataset_name="filt", split_name="train",
+        n_steps_input=2, n_steps_output=1, include_filters=["train_0"],
+    )
+    ds_exc = TanteDataset(
+        base_path=str(tmp_path), dataset_name="filt", split_name="train",
+        n_steps_input=2, n_steps_output=1, exclude_filters=["train_0"],
+    )
+    assert ds_inc.metadata.n_files == 1
+    assert ds_exc.metadata.n_files == 2
+    assert ds_all.metadata.n_files == 3
