@@ -150,6 +150,19 @@ class Evaler:
 
             return do_rollout
 
+        # Fast path: fixed-step TANTE rollouts cache frame latents (each
+        # frame encoded once; equivalence-tested in tests/test_rollout.py).
+        from tante_tpu.models.tante import TANTE as _TANTE
+
+        if isinstance(self.model, _TANTE) and self.model.deg:
+            from tante_tpu.train.rollout import rollout_tante_latent
+
+            @jax.jit
+            def do_rollout(params, x, y):
+                return rollout_tante_latent(self.model, params, x, n_steps)
+
+            return do_rollout
+
         @jax.jit
         def do_rollout(params, x, y):
             return rollout_fixed(

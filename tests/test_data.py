@@ -170,3 +170,30 @@ def test_include_exclude_filters(tmp_path):
     assert ds_inc.metadata.n_files == 1
     assert ds_exc.metadata.n_files == 2
     assert ds_all.metadata.n_files == 3
+
+
+def test_t2_tensor_fields(tmp_path):
+    """Order-2 (tensor) fields contribute d^2 flattened channels
+    (reference data/dataset.py:149-158,220-222)."""
+    from tante_tpu.data.synthetic import make_well_dataset
+    from tante_tpu.data import TanteDataset
+
+    make_well_dataset(
+        str(tmp_path),
+        dataset_name="t2set",
+        splits=("train",),
+        n_trajectories=1,
+        n_steps=8,
+        resolution=(8, 16),
+        with_t2=True,
+    )
+    ds = TanteDataset(
+        base_path=str(tmp_path), dataset_name="t2set", split_name="train",
+        n_steps_input=2, n_steps_output=1,
+    )
+    md = ds.metadata
+    # density (1) + velocity (2) + stress (2x2 -> 4)
+    assert md.n_fields == 7
+    assert md.field_names[2] == ["stress_xx", "stress_xy", "stress_yx", "stress_yy"]
+    item = ds[0]
+    assert item["input"].shape == (2, 8, 16, 7)

@@ -108,3 +108,36 @@ def test_mha_packed_path_equals_fallback():
     with mock.patch.object(attn_mod, "PACKED_ATTENTION_MAX_TOKENS", 0):
         want = mha.apply(params, x, causal=True)  # fallback
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_packed_attention_core_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from tante_tpu.ops.pallas_attention import packed_attention_core
+
+    key = jax.random.PRNGKey(0)
+    for causal in (False, True):
+        for (s, nh, l, d) in [(10, 8, 16, 32), (7, 4, 4, 16)]:
+            p = nh * l
+            ks = jax.random.split(key, 3)
+            q = jax.random.normal(ks[0], (s, p, d)) * d**-0.5
+            k = jax.random.normal(ks[1], (s, p, d))
+            v = jax.random.normal(ks[2], (s, p, d))
+
+            got = packed_attention_core(
+                q, k, v, l=l, causal=causal, seq_tile=4, interpret=True
+            )
+            # XLA reference with the same packed layout
+            logits = jnp.einsum("spd,sqd->spq", q, k)
+            row = np.arange(p)
+            mask = (row[:, None] // l) == (row[None, :] // l)
+            if causal:
+                mask = mask & ((row[:, None] % l) >= (row[None, :] % l))
+            logits = jnp.where(jnp.asarray(mask)[None], logits, -1e30)
+            w = jax.nn.softmax(logits, -1)
+            want = jnp.einsum("spq,sqd->spd", w, v)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5,
+                err_msg=f"causal={causal} s{s} nh{nh} l{l} d{d}",
+            )
