@@ -229,3 +229,27 @@ def test_cvit_trainer_and_evaler(dm, tmp_path):
     )
     report = evaler.Eval(mode="common")
     assert all(np.isfinite(v) for v in report["metrics"].values())
+
+
+def test_trainer_bf16_amp(dm, tmp_path):
+    """enable_amp swaps the model compute dtype to bfloat16 (f32 params);
+    training must run and produce finite, decreasing loss."""
+    import jax.numpy as jnp
+
+    md = dm.train_dataset.metadata
+    model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
+    trainer = make_trainer(dm, model, tmp_path, enable_amp=True, amp_type="bfloat16")
+    assert trainer.model.dtype == jnp.bfloat16
+    # params stay f32
+    import jax
+
+    assert all(
+        p.dtype == jnp.float32
+        for p in jax.tree.leaves(trainer.params["params"])
+    )
+    loader = dm.train_dataloader()
+    loss0, _ = trainer.train_one_epoch(1, loader)
+    loss1, _ = trainer.train_one_epoch(2, loader)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    val = trainer.validation_loop(dm.val_dataloader())
+    assert np.isfinite(val)
