@@ -253,3 +253,61 @@ def test_trainer_bf16_amp(dm, tmp_path):
     assert np.isfinite(loss0) and np.isfinite(loss1)
     val = trainer.validation_loop(dm.val_dataloader())
     assert np.isfinite(val)
+
+
+def test_evaler_tante_latent_fast_path(dm, tmp_path):
+    """Evaler routes fixed-step TANTE through the latent-caching rollout;
+    report must match the generic rollout path."""
+    import jax
+
+    md = dm.train_dataset.metadata
+    model = TANTE(
+        in_T=4, dset_metadata=md, taylor_order=1, attn_axes="TH",
+        embed_dim=32, patch_scale=8, n_head=4, output_length=1, deg=True,
+    )
+    trainer = make_trainer(dm, model, tmp_path)
+    trainer.train_one_epoch(1, dm.train_dataloader())
+    trainer.save_model(1, 1.0, "recent")
+
+    def build_evaler():
+        return Evaler(
+            checkpoint_folder=str(tmp_path),
+            formatter="channels_first_default",
+            model=model,
+            datamodule=dm,
+            eval_loss_fn1=MSE(),
+            eval_loss_fn2=L2RE(),
+            eval_loss_fn3=NNMSE(),
+            eval_loss_fn4=VRMSE(),
+            checkpoint_path=os.path.join(str(tmp_path), "recent"),
+            n_steps_rollout=4,
+            batch_size=2,
+        )
+
+    ev = build_evaler()
+    # Fast path active for TANTE deg=True
+    report_fast = ev.Eval(mode="common")
+
+    # Force generic path by disguising output_length-based rollout
+    from unittest import mock
+    import tante_tpu.train.evaler as evaler_mod
+
+    with mock.patch.object(evaler_mod, "cvit_full_grid_rollout"):
+        ev2 = build_evaler()
+        ev2._rollout = None
+
+        from tante_tpu.train.rollout import rollout_fixed
+
+        @jax.jit
+        def generic(params, x, y):
+            return rollout_fixed(
+                lambda w: model.apply(params, w, deterministic=True), x, 4, 1
+            )
+
+        ev2._rollout = generic
+        report_generic = ev2.validation_loop(dm.test_dataloader())
+
+    for i, name in enumerate(ev.loss_names):
+        np.testing.assert_allclose(
+            report_fast["metrics"][name], report_generic[0][i], rtol=2e-4
+        )
