@@ -46,9 +46,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = TorchDense(self.hidden_features, dtype=self.dtype)(x)
+        # fc1/fc2 names anchor the tensor-parallel partition rules
+        # (parallel/sharding.py): fc1 shards its output features, fc2 its
+        # input features — the Megatron MLP layout.
+        x = TorchDense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=self.approximate_gelu)
-        x = TorchDense(self.out_features, dtype=self.dtype)(x)
+        x = TorchDense(self.out_features, dtype=self.dtype, name="fc2")(x)
         return x
 
 

@@ -50,11 +50,22 @@ def make_mesh(
                 pass
     devices = list(devices)
     if n_devices is not None:
+        if len(devices) < n_devices:
+            kinds = sorted({d.platform for d in devices})
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available (platform(s): {kinds}); for CPU "
+                f"virtual devices set XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} before importing jax"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
-    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    assert int(np.prod(shape)) == n, (
+        f"mesh shape {shape} (= {int(np.prod(shape))} devices) != {n} "
+        f"devices on platform(s) {sorted({d.platform for d in devices})}"
+    )
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))
 

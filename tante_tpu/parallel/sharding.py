@@ -27,6 +27,11 @@ _TP_RULES = [
     (re.compile(r"(q_proj|k_proj|v_proj)/bias$"), lambda nd: P("tp")),
     # attention output projection: shard input features over tp
     (re.compile(r"out_proj/kernel$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
+    # transformer MLP, Megatron layout: fc1 output-sharded, fc2 input-sharded
+    # (models/common.py:Mlp); one psum after fc2, none between.
+    (re.compile(r"fc1/Dense_0/kernel$"), lambda nd: P(*([None] * (nd - 1) + ["tp"]))),
+    (re.compile(r"fc1/Dense_0/bias$"), lambda nd: P("tp")),
+    (re.compile(r"fc2/Dense_0/kernel$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
 ]
 
 
