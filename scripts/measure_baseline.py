@@ -69,6 +69,49 @@ LAUNCH_OVERHEAD_S = 4e-6
 
 def build_reference_model():
     sys.path.insert(0, REFERENCE)
+    # Stub third-party modules the reference imports at module scope but
+    # does not use on the TANTE forward path (torchinfo only prints a
+    # summary table; transformers is an unused import in attn_backbone.py).
+    import types
+
+    import torch.nn as nn
+
+    torchinfo = types.ModuleType("torchinfo")
+    torchinfo.summary = lambda *a, **k: None
+    sys.modules.setdefault("torchinfo", torchinfo)
+
+    class _DropPath(nn.Identity):  # drop_path=0 in all shipped configs
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    timm = types.ModuleType("timm")
+    timm_layers = types.ModuleType("timm.layers")
+    timm_models = types.ModuleType("timm.models")
+    timm_models_layers = types.ModuleType("timm.models.layers")
+    for mod in (timm_layers, timm_models_layers):
+        mod.DropPath = _DropPath
+        mod.trunc_normal_ = lambda t, *a, **k: t
+    timm.layers = timm_layers
+    timm.models = timm_models
+    timm_models.layers = timm_models_layers
+    import importlib.machinery
+
+    for name, mod in (
+        ("timm", timm),
+        ("timm.layers", timm_layers),
+        ("timm.models", timm_models),
+        ("timm.models.layers", timm_models_layers),
+    ):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules.setdefault(name, mod)
+
+    neuralop = types.ModuleType("neuralop")
+    neuralop_models = types.ModuleType("neuralop.models")
+    neuralop_models.FNO = type("FNO", (nn.Module,), {})
+    neuralop_models.TFNO = type("TFNO", (nn.Module,), {})
+    neuralop.models = neuralop_models
+    sys.modules.setdefault("neuralop", neuralop)
+    sys.modules.setdefault("neuralop.models", neuralop_models)
     from models.tante import TANTE  # executed from /root/reference, not copied
 
     # dset_metadata=None defaults to exactly the bench geometry:

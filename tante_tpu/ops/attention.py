@@ -13,6 +13,7 @@ flash-attention Pallas kernel used automatically for long sequences.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -22,8 +23,22 @@ import jax.numpy as jnp
 from tante_tpu.ops.initializers import torch_kernel_init, torch_xavier_init
 
 # Use head-packed attention when num_heads * seq_len fits one score tile
-# worth computing densely (see packed_head_attention).
-PACKED_ATTENTION_MAX_TOKENS = 512
+# worth computing densely (see packed_head_attention).  Beyond this, the
+# packed (S, H*L, H*L) scores' 8x FLOP/memory waste loses to the unpacked
+# per-head path (measured on v5e: at H*L=384 packed costs 0.65 ms vs 0.09
+# unpacked-bf16 at the TANTE W-axis geometry — docs/PERF.md round 2).
+PACKED_ATTENTION_MAX_TOKENS = int(os.environ.get("TANTE_PACKED_MAX", "128"))
+# 'pallas' (VMEM-fused scores on TPU) or 'xla' for the packed core.
+# Default xla: the Pallas core wins isolated (0.147 vs 0.295 ms at the
+# T-axis geometry) but LOSES end-to-end (690 vs 878 frames/s) — the custom
+# call's operand layout constraints force extra transposes in-model.
+PACKED_IMPL = os.environ.get("TANTE_PACKED_IMPL", "xla")
+# softmax dtype on the unpacked self-attention path: 'f32' (default; also
+# what torch does) or 'compute' (follow the model dtype).  Counter-intuitive
+# but measured: end-to-end the f32 softmax is FASTER (915 vs 872 frames/s)
+# even though isolated scans say the opposite — XLA fuses the upcast chain
+# into the score matmul in-model.
+UNPACKED_SOFTMAX = os.environ.get("TANTE_UNPACKED_SOFTMAX", "f32")
 
 
 def packed_head_attention(
@@ -106,15 +121,47 @@ class MultiheadAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)  # (B, L, H, D)
 
         self_attn = k_in is q_in and v_in is k_in
-        use_packed = (
+        simple = (
             self_attn
             and attn_bias is None
             and (self.dropout == 0.0 or deterministic)
-            and h * q.shape[-3] <= PACKED_ATTENTION_MAX_TOKENS
             and q.ndim == 4
         )
-        if use_packed:
-            out = packed_head_attention(q, k, v, causal=causal)
+        if simple and h * q.shape[-3] <= PACKED_ATTENTION_MAX_TOKENS:
+            # Tiny sequences: fold heads into the sequence so score matmuls
+            # run on full MXU tiles; Pallas keeps the f32 scores in VMEM on
+            # TPU (ops/pallas_attention.py), XLA math elsewhere.
+            if PACKED_IMPL == "pallas":
+                from tante_tpu.ops.pallas_attention import packed_attention
+
+                b, l, _, d = q.shape
+                scale = d**-0.5
+
+                def pack(t):
+                    return t.transpose(0, 2, 1, 3).reshape(b, h * l, d)
+
+                out = packed_attention(pack(q * scale), pack(k), pack(v), l, causal)
+                out = out.reshape(b, h, l, d).transpose(0, 2, 1, 3)
+            else:
+                out = packed_head_attention(q, k, v, causal=causal)
+        elif simple:
+            # Moderate sequences: per-head scores; softmax in the compute
+            # dtype (bf16 models keep bf16 — the f32 upcast materializes 2x
+            # the score bytes for <0.1% weight error on <=1k-logit rows;
+            # measured 0.09 vs 0.31 ms at the TANTE W-axis geometry).
+            scale = head_dim**-0.5
+            logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+            if causal:
+                lq, lk = logits.shape[-2], logits.shape[-1]
+                mask = jnp.tril(jnp.ones((lq, lk), dtype=bool))
+                logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+            if UNPACKED_SOFTMAX == "f32":
+                weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                    logits.dtype
+                )
+            else:
+                weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
         else:
             scale = head_dim**-0.5
             logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)

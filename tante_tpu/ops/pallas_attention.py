@@ -56,6 +56,29 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def default_seq_tile(p: int, d: int) -> int:
+    """Largest row tile fitting the kernel's VMEM working set in ~10 MB.
+
+    VMEM is ~16 MB/core.  Minor dims pad to (8, 128) tiles, so a (tile, P,
+    D=32) bf16 block really occupies tile*P*128*2 bytes; the working set is
+    3 double-buffered operands + the f32 (tile, P, P-padded) scores + the
+    double-buffered output.
+    """
+
+    def pad(n: int, m: int) -> int:
+        return (n + m - 1) // m * m
+
+    d_pad = pad(d, 128)
+    p_pad = pad(p, 128)
+    per_row = (
+        3 * 2 * p * d_pad * 2  # q, k, v blocks, double-buffered, bf16
+        + p * p_pad * 4  # f32 scores + softmax intermediates
+        + 2 * p * d_pad * 2  # output block, double-buffered
+    )
+    budget = 10 * 2**20
+    return max(8, min(256, budget // per_row // 8 * 8))
+
+
 @functools.partial(
     jax.jit, static_argnames=("l", "causal", "seq_tile", "interpret")
 )
@@ -65,11 +88,13 @@ def packed_attention_core(
     vp: jnp.ndarray,
     l: int,
     causal: bool = False,
-    seq_tile: int = 256,
+    seq_tile: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(S, P, D) head-packed q/k/v (q pre-scaled) -> (S, P, D) attention."""
     s, p, d = qp.shape
+    if seq_tile <= 0:
+        seq_tile = default_seq_tile(p, d)
     s_p = _round_up(s, seq_tile)
     if s_p != s:
         pad = ((0, s_p - s), (0, 0), (0, 0))
@@ -93,3 +118,63 @@ def packed_attention_core(
         interpret=interpret,
     )(qp, kp, vp)
     return out[:s]
+
+
+def _xla_packed_core(
+    qp: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray, l: int, causal: bool
+) -> jnp.ndarray:
+    """Same math as the kernel in plain XLA (f32 scores + softmax).
+
+    Used (a) off-TPU, (b) as the VJP recompute so the packed attention is
+    trainable without a hand-written kernel backward.
+    """
+    p = qp.shape[1]
+    scores = jnp.einsum(
+        "spd,sqd->spq", qp, kp, preferred_element_type=jnp.float32
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    mask = (row // l) == (col // l)
+    if causal:
+        mask = mask & ((row % l) >= (col % l))
+    scores = jnp.where(mask[None], scores, -1e30)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("spq,sqd->spd", weights.astype(vp.dtype), vp).astype(qp.dtype)
+
+
+def _on_tpu() -> bool:
+    # An explicitly pinned default device wins (tests pin CPU while the
+    # axon TPU plugin is still registered, so default_backend() alone lies).
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", str(dd)) == "tpu"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_attention(
+    qp: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray, l: int, causal: bool = False
+) -> jnp.ndarray:
+    """Differentiable head-packed attention core: Pallas forward on TPU
+    (scores never leave VMEM), XLA math elsewhere and for the backward
+    pass (recompute-based VJP — exact gradients of the XLA formulation).
+    """
+    if _on_tpu():
+        return packed_attention_core(qp, kp, vp, l, causal=causal)
+    return _xla_packed_core(qp, kp, vp, l, causal)
+
+
+def _packed_attention_fwd(qp, kp, vp, l, causal):
+    return packed_attention(qp, kp, vp, l, causal), (qp, kp, vp)
+
+
+def _packed_attention_bwd(l, causal, res, g):
+    qp, kp, vp = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_packed_core(a, b, c, l, causal), qp, kp, vp)
+    return vjp(g)
+
+
+packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
