@@ -10,24 +10,37 @@ frames autoregressively on the Turbulent-Radiative-Layer-sized field
 emitted frames per second per chip (batch x frames / wall-clock / chips).
 
 ``vs_baseline``: the reference repo states no hardware or timing numbers
-(BASELINE.md: "Hardware: not stated").  The denominator used here is an
-ESTIMATED A100 PyTorch figure for the same model/protocol
-(A100_EST_FRAMES_PER_SEC below), derived from the per-call forward cost of
-a 4.5M-param model at this geometry; it is a placeholder until a measured
-baseline lands in BASELINE.json and is kept explicit so the judge can
-re-derive the ratio.
+(BASELINE.md: "Hardware: not stated").  The denominator is the derived
+A100 eager-PyTorch UPPER BOUND recorded in
+``BASELINE.json.published.a100_tante_rollout`` by
+``scripts/measure_baseline.py``: exact per-call FLOPs and op counts are
+measured by running the reference model, then the bound grants it 25% MFU
+of A100 bf16 peak and a 4 us/kernel launch floor with free memory
+bandwidth — every assumption favoring the baseline, all re-derivable (see
+BASELINE.md "A100 denominator derivation").
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_EST_FRAMES_PER_SEC = 200.0
+
+def _baseline_fps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["published"]["a100_tante_rollout"]["value"])
+    except (OSError, KeyError, ValueError):
+        return 2493.8  # last measured value; re-derive with scripts/measure_baseline.py
+
+
+A100_EST_FRAMES_PER_SEC = _baseline_fps()
 
 BATCH = 8
 RESOLUTION = (128, 384)
@@ -113,12 +126,17 @@ def main():
     inputs = [x + 0.001 * i for i in range(MEASURE_ITERS)]
     for xi in inputs:
         xi.block_until_ready()
+    # Pipelined dispatch, ONE sync at the end: the TPU executes enqueued
+    # programs in order, so materializing the last rollout's probe implies
+    # all prior rollouts completed.  Syncing per rollout would add one
+    # ~25 ms tunnel round-trip each — a dev-harness artifact, not device
+    # time (it inflated round-1 numbers ~19% low).
     # Best of 3 passes: the shared tunnel adds ~5% run-to-run noise.
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for xi in inputs:
-            run_synced(xi)
+        ys = [rollout(params, xi) for xi in inputs]
+        float(_probe(ys[-1]))
         dt = min(dt, time.perf_counter() - t0)
     frames = MEASURE_ITERS * BATCH * N_STEPS
     n_chips = 1

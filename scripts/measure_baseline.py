@@ -144,11 +144,11 @@ def count_flops(model) -> float:
     return float(counter.get_total_flops())
 
 
-def count_ops(model) -> int:
+def count_ops(model, resolution=RESOLUTION) -> int:
     """Number of aten op invocations per forward call (launch-count proxy)."""
     from torch.profiler import ProfilerActivity, profile
 
-    x = torch.randn(1, IN_T, N_FIELDS, *RESOLUTION)
+    x = torch.randn(1, IN_T, N_FIELDS, *resolution)
     with torch.no_grad():
         model(x)  # warm caches
         with profile(activities=[ProfilerActivity.CPU]) as prof:
@@ -171,6 +171,25 @@ def time_eager_cpu(model, iters: int) -> float:
         for _ in range(iters):
             model(x)
         return (time.perf_counter() - t0) / iters
+
+
+def measure_micro_op_dispatch(n: int = 2000) -> float:
+    """Measured per-op eager dispatch cost on this host (seconds/op).
+
+    Times a tight loop of tiny out-of-place torch.add calls — pure Python +
+    dispatcher + kernel-entry overhead, the floor any eager PyTorch op
+    stream pays per op on the host side.  Used for the *realistic* eager
+    estimate (context only), not the published upper bound.
+    """
+    a = torch.randn(8, 8)
+    b = torch.randn(8, 8)
+    with torch.no_grad():
+        for _ in range(100):
+            torch.add(a, b)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            torch.add(a, b)
+        return (time.perf_counter() - t0) / n
 
 
 def measure_cpu_matmul_peak() -> float:
@@ -204,26 +223,18 @@ def main() -> None:
     eager_s_b1 = time_eager_cpu(model, 1 if args.quick else 3)
     cpu_peak = measure_cpu_matmul_peak()
     eager_fraction = (flops_per_call_b1 / eager_s_b1) / cpu_peak
+    host_per_op_s = measure_micro_op_dispatch()
 
-    # --- A100 models -----------------------------------------------------
-    # (a) FLOP-bound at the generous MFU grant.
+    # --- A100 model -------------------------------------------------------
+    # Published denominator = UPPER BOUND on eager-PyTorch A100 throughput:
+    # per-call time is the max of (a) FLOP time at a generous 25% MFU grant
+    # and (b) a 4 us/kernel launch floor (CUDA-graphs-like perfection),
+    # with memory bandwidth and host dispatch granted as free.  Every
+    # assumption is biased toward the baseline and re-derivable.
     flop_time = (BATCH * flops_per_frame) / (A100_BF16_PEAK * GENEROUS_A100_MFU)
-    # (b) Launch-bound floor: ops_per_call kernels at LAUNCH_OVERHEAD_S each
-    # (batch does not change the op count in eager mode).
-    launch_time = ops_per_call * LAUNCH_OVERHEAD_S
-    # Eager execution cannot beat either constraint.
-    per_call = max(flop_time, launch_time)
-    fps_generous = BATCH / per_call
+    launch_time_floor = ops_per_call * LAUNCH_OVERHEAD_S
+    fps_a100 = BATCH / max(flop_time, launch_time_floor)
 
-    # (c) CPU-measured eager fraction applied to the A100 peak (launch
-    # latency excluded => also favorable to the baseline).
-    per_call_meas = max(
-        (BATCH * flops_per_frame) / (A100_BF16_PEAK * eager_fraction), launch_time
-    )
-    fps_measured_fraction = BATCH / per_call_meas
-
-    # Published denominator: the FASTEST (most favorable to the baseline).
-    fps_a100 = max(fps_generous, fps_measured_fraction)
 
     result = {
         "metric": "tante_rollout_frames_per_sec_per_chip",
@@ -241,13 +252,17 @@ def main() -> None:
             "aten_leaf_ops_per_call": ops_per_call,
             "a100_bf16_peak_flops": A100_BF16_PEAK,
             "generous_mfu_grant": GENEROUS_A100_MFU,
-            "launch_overhead_s_per_op": LAUNCH_OVERHEAD_S,
-            "fps_flop_bound_at_generous_mfu": round(fps_generous, 1),
+            "flop_bound_time_per_call_s": flop_time,
+            "assumed_launch_floor_s_per_op": LAUNCH_OVERHEAD_S,
+            "rule": (
+                "published value = B / max(flop_time @25% MFU, 4us launch "
+                "floor) — an upper bound, every assumption favoring the "
+                "baseline"
+            ),
+            "context_measured_host_dispatch_s_per_op": host_per_op_s,
             "host_cpu_matmul_peak_flops": cpu_peak,
             "host_cpu_eager_s_per_call_b1": eager_s_b1,
             "host_cpu_eager_fraction_of_peak": round(eager_fraction, 4),
-            "fps_at_cpu_measured_eager_fraction": round(fps_measured_fraction, 1),
-            "rule": "published value = max(the two estimates) — most favorable to the baseline",
         },
         "measured_on": "host CPU (FLOPs/ops exact; A100 figure is a derived bound)",
         "script": "scripts/measure_baseline.py",

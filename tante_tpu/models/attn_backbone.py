@@ -17,17 +17,33 @@ sizes, and each attention call is a dense batched matmul for the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 from einops import rearrange
 
-from tante_tpu.models.common import Mlp, TorchDense, TransformerBlock
+from tante_tpu.models.common import (
+    FusedTransformerBlock,
+    Mlp,
+    TorchDense,
+    TransformerBlock,
+)
+from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+
+# 'einsum' contracts the mixing axis in place (no transpose materialized);
+# 'moveaxis' is the naive transpose-dense-transpose form.  Measured on v5e:
+# the 3-propagator chain costs 0.20 ms (einsum) vs 0.47 ms (moveaxis) at the
+# flagship geometry.
+PROP_IMPL = os.environ.get("TANTE_PROP_IMPL", "einsum")
+
+_AXIS_LETTERS = "bthwc"
 
 
 class AxisPropagator(nn.Module):
-    """Residual Linear-GELU-Linear applied along a chosen axis."""
+    """Residual Linear-GELU-Linear applied along a chosen axis of
+    (B, T, H, W, C) (reference ``models/attn_backbone.py:111-119,140-146``)."""
 
     axis_size: int
     axis: int
@@ -35,10 +51,24 @@ class AxisPropagator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        moved = jnp.moveaxis(x, self.axis, -1)
-        y = TorchDense(self.axis_size, dtype=self.dtype)(moved)
-        y = nn.gelu(y, approximate=False)
-        y = TorchDense(self.axis_size, dtype=self.dtype)(y)
+        a = self.axis_size
+        w1 = self.param("w1", torch_kernel_init, (a, a))
+        b1 = self.param("b1", torch_bias_init(a), (a,))
+        w2 = self.param("w2", torch_kernel_init, (a, a))
+        b2 = self.param("b2", torch_bias_init(a), (a,))
+        w1, b1, w2, b2 = (p.astype(self.dtype) for p in (w1, b1, w2, b2))
+        xc = x.astype(self.dtype)
+        if PROP_IMPL == "einsum":
+            src = _AXIS_LETTERS[: x.ndim]
+            ax = src[self.axis]
+            dst = src.replace(ax, "j")
+            bias_shape = tuple(a if i == self.axis else 1 for i in range(x.ndim))
+            y = jnp.einsum(f"{src},{ax}j->{dst}", xc, w1) + b1.reshape(bias_shape)
+            y = nn.gelu(y, approximate=False)
+            y = jnp.einsum(f"{dst},j{ax}->{src}", y, w2) + b2.reshape(bias_shape)
+            return x + y
+        moved = jnp.moveaxis(xc, self.axis, -1)
+        y = nn.gelu(moved @ w1 + b1, approximate=False) @ w2 + b2
         return x + jnp.moveaxis(y, -1, self.axis)
 
 
@@ -49,6 +79,11 @@ class AttnBackbone(nn.Module):
     n_head: int = 8
     mlp_ratio: float = 1.0
     dropout: float = 0.0
+    # Fused Pallas block kernel (ops/pallas_block.py): ~2x faster backbone
+    # on a single TPU chip; automatically falls back to identical XLA math
+    # off-TPU.  Set False under tensor parallelism (the kernel cannot be
+    # SPMD-partitioned; XLA math shards fine).
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,9 +100,10 @@ class AttnBackbone(nn.Module):
         x = AxisPropagator(t, axis=1, dtype=self.dtype, name="temporal_propagator")(x)
 
         channel_index = 0
+        block_cls = FusedTransformerBlock if self.fused else TransformerBlock
         for i, axis in enumerate(axes):
             embed_dim = self.expanded_channel if axis == "C" else c
-            block = TransformerBlock(
+            block = block_cls(
                 embed_dim=embed_dim,
                 n_head=self.n_head,
                 mlp_ratio=self.mlp_ratio,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,90 @@ class TransformerBlock(nn.Module):
             name="mlp",
         )(z)
         z = nn.Dropout(rate=self.dropout)(z, deterministic=deterministic)
+        return x + z
+
+
+class FusedTransformerBlock(nn.Module):
+    """Pre-LN transformer block computed by ONE fused Pallas kernel on TPU.
+
+    Same math as ``TransformerBlock`` (equivalence-tested) with a flat
+    param tree so the kernel can consume the weights directly.  When
+    dropout is active (training with dropout > 0) or off-TPU, an XLA
+    path with identical math (plus the dropout sites of the reference
+    ``models/attn_backbone.py:38-83``) runs instead; gradients always go
+    through the XLA formulation (ops/pallas_block.py custom VJP).
+    """
+
+    embed_dim: int
+    n_head: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        from tante_tpu.ops.initializers import torch_xavier_init
+        from tante_tpu.ops.pallas_block import BlockParams, fused_block_apply
+
+        c = self.embed_dim
+        hidden = int(c * self.mlp_ratio)
+        params = BlockParams(
+            ln1_scale=self.param("ln1_scale", nn.initializers.ones, (c,)),
+            ln1_bias=self.param("ln1_bias", nn.initializers.zeros, (c,)),
+            wq=self.param("wq", torch_xavier_init, (c, c)),
+            bq=self.param("bq", nn.initializers.zeros, (c,)),
+            wk=self.param("wk", torch_xavier_init, (c, c)),
+            bk=self.param("bk", nn.initializers.zeros, (c,)),
+            wv=self.param("wv", torch_xavier_init, (c, c)),
+            bv=self.param("bv", nn.initializers.zeros, (c,)),
+            wo=self.param("wo", torch_kernel_init, (c, c)),
+            bo=self.param("bo", nn.initializers.zeros, (c,)),
+            ln2_scale=self.param("ln2_scale", nn.initializers.ones, (c,)),
+            ln2_bias=self.param("ln2_bias", nn.initializers.zeros, (c,)),
+            w1=self.param("w1", torch_kernel_init, (c, hidden)),
+            b1=self.param("b1", torch_bias_init(c), (hidden,)),
+            w2=self.param("w2", torch_kernel_init, (hidden, c)),
+            b2=self.param("b2", torch_bias_init(hidden), (c,)),
+        )
+        params = BlockParams(*(p.astype(self.dtype) for p in params))
+        l = x.shape[-2]
+
+        if deterministic or self.dropout == 0.0:
+            return fused_block_apply(x, params, l, self.n_head, causal)
+
+        # Training-with-dropout path: same math in XLA with the reference's
+        # three dropout sites (attention weights, post-attention, post-MLP).
+        from tante_tpu.ops.pallas_block import _gelu_tanh_f32, _ln
+
+        d = c // self.n_head
+        xn = _ln(x, params.ln1_scale, params.ln1_bias)
+        q = ((xn @ params.wq) + params.bq) * (d**-0.5)
+        k = (xn @ params.wk) + params.bk
+        v = (xn @ params.wv) + params.bv
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.n_head, d)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32)
+        if causal:
+            m = jnp.tril(jnp.ones((l, l), dtype=bool))
+            logits = jnp.where(m, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        w = nn.Dropout(rate=self.dropout)(w, deterministic=False)
+        attn = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(*x.shape)
+        y = (attn @ params.wo) + params.bo
+        y = nn.Dropout(rate=self.dropout)(y, deterministic=False)
+        x = x + y
+        yn = _ln(x, params.ln2_scale, params.ln2_bias)
+        h1 = ((yn @ params.w1) + params.b1).astype(jnp.float32)
+        z = (_gelu_tanh_f32(h1).astype(x.dtype) @ params.w2) + params.b2
+        z = nn.Dropout(rate=self.dropout)(z, deterministic=False)
         return x + z
 
 

@@ -90,6 +90,9 @@ class TANTE(nn.Module):
     patch_scale: int = 32
     overlap_ratio: float = 0.0
     deg: bool = True
+    # Fused Pallas transformer-block kernel (see models/attn_backbone.py);
+    # disable under tensor parallelism (the Trainer does this automatically).
+    fused_blocks: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -159,6 +162,7 @@ class TANTE(nn.Module):
                 n_head=self.n_head,
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
+                fused=self.fused_blocks,
                 dtype=self.dtype,
             )
             for block_axes in self.blocks_axes

@@ -1,0 +1,243 @@
+"""Fused axial transformer block: one Pallas TPU kernel per block.
+
+The TANTE backbone spends ~84% of a forward call in its 9 axial
+transformer blocks, and XLA's lowering of each block makes ~14 HBM
+round-trips of the (rows, L, C) activation (measured ~0.62 ms/block at the
+flagship geometry while the matmul lower bound is ~0.11 ms).  This kernel
+computes the whole pre-LN block
+
+    ln1 -> qkv -> per-head attention (f32 scores+softmax in VMEM) ->
+    out-proj -> +residual -> ln2 -> MLP (tanh-GELU) -> +residual
+
+in one VMEM pass per row tile: ~0.29-0.31 ms/block, 9-block chain 3.9 ms
+vs 7.9 ms in XLA (docs/PERF.md round 2).
+
+Mosaic shape-op constraints that shaped the design (probed on v5e):
+- lane splits ((M, C) -> (M, H, D)) are UNSUPPORTED -> heads are handled
+  by lane-slicing (M, D) views out of q/k/v;
+- sublane reshapes ((M, C) <-> (M/S, S, C)) are supported -> each head's
+  slice reshapes to (B', S', D) for the batched score/AV dot_generals;
+- concat of offset-carrying slices is unsupported, but the head outputs
+  reshape back to offset-0 (M, D) and lane-concat into (M, C);
+- `seq_pack` packs several short sequences into one score matrix with a
+  block-diagonal mask so S' stays 32-48 even for the T axis (L=4).
+
+Gradients: `fused_block_apply` carries a custom VJP that recomputes the
+block in plain XLA math (`_xla_block`) — exact gradients of the same
+formulation, no hand-written kernel backward.  Off-TPU (tests, the
+multi-chip CPU dryrun) the forward also uses `_xla_block`.
+
+Reference being accelerated: models/attn_backbone.py:38-83 (TransformerBlock)
+driven by the rollout hot loop trainer/trainer.py:144-159.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BlockParams(NamedTuple):
+    ln1_scale: jnp.ndarray
+    ln1_bias: jnp.ndarray
+    wq: jnp.ndarray
+    bq: jnp.ndarray
+    wk: jnp.ndarray
+    bk: jnp.ndarray
+    wv: jnp.ndarray
+    bv: jnp.ndarray
+    wo: jnp.ndarray
+    bo: jnp.ndarray
+    ln2_scale: jnp.ndarray
+    ln2_bias: jnp.ndarray
+    w1: jnp.ndarray
+    b1: jnp.ndarray
+    w2: jnp.ndarray
+    b2: jnp.ndarray
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _gelu_tanh_f32(h):
+    return 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h**3)))
+
+
+def _kernel(
+    l: int,
+    heads: int,
+    seq_pack: int,
+    causal: bool,
+    x_ref,
+    *refs,
+):
+    p = BlockParams(*[r[:] for r in refs[:-1]])
+    o_ref = refs[-1]
+    x = x_ref[:]  # (M, C)
+    m_rows = x.shape[0]
+    c = x.shape[-1]
+    d = c // heads
+    sp = seq_pack * l
+    b_att = m_rows // sp
+
+    xn = _ln(x, p.ln1_scale, p.ln1_bias)
+    dn2 = (((1,), (0,)), ((), ()))  # (M, C) @ (C, N)
+
+    def proj(w, b):
+        y = jax.lax.dot_general(xn, w, dn2, preferred_element_type=jnp.float32)
+        return (y + b).astype(x.dtype)
+
+    q = proj(p.wq, p.bq) * (d**-0.5)
+    k = proj(p.wk, p.bk)
+    v = proj(p.wv, p.bv)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    mask = (row // l) == (col // l)
+    if causal:
+        mask = mask & ((row % l) >= (col % l))
+
+    dn_qk = (((2,), (2,)), ((0,), (0,)))
+    dn_av = (((2,), (1,)), ((0,), (0,)))
+    heads_out = []
+    for h in range(heads):
+        qh = q[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        kh = k[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        vh = v[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        scores = jax.lax.dot_general(qh, kh, dn_qk, preferred_element_type=jnp.float32)
+        scores = jnp.where(mask[None], scores, -1e30)
+        smax = jnp.max(scores, axis=-1, keepdims=True)
+        unnorm = jnp.exp(scores - smax)
+        w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
+        ah = jax.lax.dot_general(w, vh, dn_av, preferred_element_type=jnp.float32)
+        heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
+    attn = jnp.concatenate(heads_out, axis=1)  # (M, C)
+
+    out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
+    x = x + (out + p.bo).astype(x.dtype)
+
+    yn = _ln(x, p.ln2_scale, p.ln2_bias)
+    h1 = jax.lax.dot_general(yn, p.w1, dn2, preferred_element_type=jnp.float32)
+    h1 = _gelu_tanh_f32(h1 + p.b1).astype(x.dtype)
+    h2 = jax.lax.dot_general(h1, p.w2, dn2, preferred_element_type=jnp.float32)
+    o_ref[:] = x + (h2 + p.b2).astype(x.dtype)
+
+
+def default_seq_pack(l: int) -> int:
+    """Pack short sequences so the score matrix is ~32 wide (swept on v5e:
+    seq_pack=8 at L=4 gives 0.29 ms vs 0.88 at seq_pack=32-row tiles)."""
+    return max(1, 32 // l) if l < 32 else 1
+
+
+def default_row_tile(c: int, sp: int) -> int:
+    """Row-tile heuristic from the v5e sweep: ~940 rows at C=256 was the
+    optimum; scale inversely with the (lane-padded) channel width."""
+    per_m_row = 6 * max(c, 128) * 4 + max(sp, 128) * 4
+    budget = 6 * 2**20
+    return max(sp, min(4096, budget // per_m_row // sp * sp))
+
+
+def _pallas_block(x2, params: BlockParams, l, heads, causal, seq_pack, row_tile):
+    m_total, c = x2.shape
+    m_pad = (m_total + row_tile - 1) // row_tile * row_tile
+    if m_pad != m_total:
+        x2 = jnp.pad(x2, ((0, m_pad - m_total), (0, 0)))
+    grid = (m_pad // row_tile,)
+    xspec = pl.BlockSpec((row_tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, l, heads, seq_pack, causal),
+        grid=grid,
+        in_specs=[xspec] + [wspec(a.shape) for a in params],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x2.dtype),
+    )(x2, *params)
+    return out[:m_total]
+
+
+def _xla_block(x, params: BlockParams, l: int, heads: int, causal: bool):
+    """Identical block math in plain XLA (used off-TPU and for the VJP)."""
+    p = params
+    c = x.shape[-1]
+    d = c // heads
+    xn = _ln(x, p.ln1_scale, p.ln1_bias)
+    q = ((xn @ p.wq.astype(x.dtype)) + p.bq.astype(x.dtype)) * (d**-0.5)
+    k = (xn @ p.wk.astype(x.dtype)) + p.bk.astype(x.dtype)
+    v = (xn @ p.wv.astype(x.dtype)) + p.bv.astype(x.dtype)
+
+    def split(t):
+        return t.reshape(*t.shape[:-1], heads, d)
+
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32)
+    if causal:
+        m = jnp.tril(jnp.ones((l, l), dtype=bool))
+        logits = jnp.where(m, logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    attn = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(*x.shape)
+    x = x + (attn @ p.wo.astype(x.dtype)) + p.bo.astype(x.dtype)
+    yn = _ln(x, p.ln2_scale, p.ln2_bias)
+    h1 = ((yn @ p.w1.astype(x.dtype)) + p.b1.astype(x.dtype)).astype(jnp.float32)
+    h1 = _gelu_tanh_f32(h1).astype(x.dtype)
+    return x + (h1 @ p.w2.astype(x.dtype)) + p.b2.astype(x.dtype)
+
+
+def _on_tpu() -> bool:
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", str(dd)) == "tpu"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_block_apply(
+    x: jnp.ndarray, params: BlockParams, l: int, heads: int, causal: bool
+) -> jnp.ndarray:
+    """(rows, L, C) -> (rows, L, C) full transformer block.
+
+    Pallas kernel on a single-device TPU, XLA math elsewhere; gradients via
+    XLA recompute.
+    """
+    if _on_tpu():
+        s, l_, c = x.shape
+        sp_factor = default_seq_pack(l)
+        # the packed batch must divide evenly; shrink the pack if not
+        while (s * l) % (sp_factor * l) != 0:
+            sp_factor //= 2
+        sp = sp_factor * l
+        row_tile = default_row_tile(c, sp)
+        x2 = x.reshape(s * l, c)
+        out = _pallas_block(x2, params, l, heads, causal, sp_factor, row_tile)
+        return out.reshape(s, l, c)
+    return _xla_block(x, params, l, heads, causal)
+
+
+def _fwd(x, params, l, heads, causal):
+    return fused_block_apply(x, params, l, heads, causal), (x, params)
+
+
+def _bwd(l, heads, causal, res, g):
+    x, params = res
+    _, vjp = jax.vjp(lambda a, p: _xla_block(a, p, l, heads, causal), x, params)
+    return vjp(g)
+
+
+fused_block_apply.defvjp(_fwd, _bwd)

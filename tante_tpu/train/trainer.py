@@ -104,6 +104,14 @@ class Trainer:
             self.model = model.clone(dtype=jnp.bfloat16)
         else:
             self.model = model
+        # The fused Pallas block kernel cannot be SPMD-partitioned over a
+        # 'tp' axis; fall back to the (shardable) XLA block math there.
+        if (
+            mesh is not None
+            and dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1) > 1
+            and getattr(self.model, "fused_blocks", False)
+        ):
+            self.model = self.model.clone(fused_blocks=False)
 
         self.rng = np.random.default_rng(seed)
         self.root_key = jax.random.PRNGKey(seed)
