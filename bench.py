@@ -103,6 +103,90 @@ def build(latent_cache: bool = True):
     return rollout, params, x
 
 
+def build_adaptive():
+    """Adaptive (deg=False) TANTE + R_Evaler-style while-loop rollout."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.train.rollout import rollout_adaptive_eval
+
+    md = TanteMetadata(
+        dataset_name="bench",
+        n_spatial_dims=2,
+        spatial_resolution=RESOLUTION,
+        field_names={0: ["f"] * N_FIELDS, 1: [], 2: []},
+        boundary_condition_types=["PERIODIC"],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[32],
+        n_fields=N_FIELDS,
+    )
+    model = TANTE(
+        in_T=IN_T,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THWTHWTHW",
+        embed_dim=256,
+        patch_scale=8,
+        n_head=8,
+        mlp_ratio=1.0,
+        output_length=1,
+        deg=False,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, IN_T, *RESOLUTION, N_FIELDS)).astype(
+            np.float32
+        )
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def rollout(params, x):
+        y, rt_log, n_calls = rollout_adaptive_eval(
+            lambda w: model.apply(params, w, float(N_STEPS), deterministic=True),
+            x,
+            N_STEPS,
+        )
+        return y, n_calls
+
+    return rollout, params, x
+
+
+def bench_adaptive(probe):
+    """Second (non-headline) lane: time-adaptive eval rollout throughput."""
+    rollout, params, x = build_adaptive()
+
+    def run_synced(xi):
+        y, n_calls = rollout(params, xi)
+        float(probe(y))
+        return int(n_calls)
+
+    for _ in range(WARMUP_ITERS):
+        calls = run_synced(x)
+    inputs = [x + 0.001 * i for i in range(MEASURE_ITERS)]
+    for xi in inputs:
+        xi.block_until_ready()
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ys = [rollout(params, xi) for xi in inputs]
+        float(probe(ys[-1][0]))
+        dt = min(dt, time.perf_counter() - t0)
+    frames = MEASURE_ITERS * BATCH * N_STEPS
+    fps = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tante_adaptive_rollout_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip (adaptive eval, B8 x 16-step, 128x384x4, bf16)",
+                "model_calls_per_rollout": calls,
+                "vs_baseline": round(fps / A100_EST_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
 def main():
     rollout, params, x = build()
 
@@ -141,6 +225,14 @@ def main():
     frames = MEASURE_ITERS * BATCH * N_STEPS
     n_chips = 1
     fps = frames / dt / n_chips
+
+    # Secondary lane first (time-adaptive eval); the headline fixed-step
+    # line stays LAST so drivers that parse the final line keep working.
+    try:
+        bench_adaptive(_probe)
+    except Exception as e:  # never let the secondary lane kill the headline
+        print(json.dumps({"metric": "tante_adaptive_rollout", "error": str(e)[:200]}))
+
     print(
         json.dumps(
             {

@@ -35,22 +35,34 @@ def five_number_summary(data):
 
 
 class R_Evaler(Evaler):
-    def __init__(self, *args: Any, rt_eps: float = 0.5, rt_n: int = 2, **kwargs: Any):
+    def __init__(
+        self,
+        *args: Any,
+        rt_eps: float = 0.5,
+        rt_n: int = 2,
+        out_T_max: int = 0,
+        **kwargs: Any,
+    ):
         self.rt_eps = rt_eps
         self.rt_n = rt_n
+        # Per-call Taylor frame cap (0 = n_steps_rollout, exact reference
+        # semantics).  A cap K < n_steps cuts the decoded-frames-per-call
+        # waste and is exact whenever realized floor(r_t) <= K (see
+        # rollout.py:rollout_adaptive_eval).
+        self.out_T_max = out_T_max
         super().__init__(*args, **kwargs)
 
     def _build_rollout(self):
         n_steps = self.n_steps_rollout
+        k = min(self.out_T_max, n_steps) if self.out_T_max else n_steps
 
         @jax.jit
         def do_rollout(params, x, y):
             y_pred, rt_log, n_calls = rollout_adaptive_eval(
-                lambda w: self.model.apply(
-                    params, w, float(n_steps), deterministic=True
-                ),
+                lambda w: self.model.apply(params, w, float(k), deterministic=True),
                 x,
                 n_steps,
+                max_frames_per_call=k,
             )
             return y_pred, rt_log, n_calls
 

@@ -143,15 +143,25 @@ def rollout_adaptive_eval(
     apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
     window: jnp.ndarray,
     n_steps: int,
+    max_frames_per_call: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive eval rollout: the model emits floor(r_t) frames per call.
 
-    apply_fn: window -> (frames (B, n_steps, ...), rt (B,)).
+    apply_fn: window -> (frames (B, K, ...), rt (B,)) where
+    K = max_frames_per_call or n_steps.  A K < n_steps caps the per-call
+    Taylor frame block: the reference decodes/evaluates a full n_steps
+    block per call even when r_t ~ 2 (``models/tante.py:165-169`` with
+    ``trainer/r_evaler.py:95``); capping K cuts that per-call waste and is
+    exact whenever realized floor(r_t) <= K (the r_t band loss pulls mean
+    r_t into [1+eps, 4], so K >= 4-8 is faithful in practice).
+
     Returns (y_pred (B, n_steps, ...), rt_per_call (n_steps,) padded with
     NaN beyond the realized calls, n_calls scalar int32).
     """
     t_in = window.shape[1]
     b = window.shape[0]
+    k = max_frames_per_call if max_frames_per_call > 0 else n_steps
+    k = min(k, n_steps)
     out0 = jnp.zeros((b, n_steps) + window.shape[2:], dtype=window.dtype)
     rt_log0 = jnp.full((n_steps,), jnp.nan, dtype=jnp.float32)
 
@@ -162,12 +172,12 @@ def rollout_adaptive_eval(
     def body(carry):
         win, out, cum, rt_log, n_calls = carry
         frames, rt = apply_fn(win)
-        emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, n_steps)
+        emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
         # Scatter frames[:, :emit] into out[:, cum:cum+emit] via masked gather.
         tpos = jnp.arange(n_steps)
         rel = tpos - cum
         use = (rel >= 0) & (rel < emit)
-        gathered = jnp.take(frames, jnp.clip(rel, 0, n_steps - 1), axis=1)
+        gathered = jnp.take(frames, jnp.clip(rel, 0, k - 1), axis=1)
         mask = use.reshape((1, n_steps) + (1,) * (out.ndim - 2))
         out = jnp.where(mask, gathered, out)
         # Slide window: concat(window, frames)[:, emit : emit + T].
