@@ -31,8 +31,11 @@ import h5py as h5
 import numpy as np
 import yaml
 
-# HDF5 chunk-cache tuning (reference IO_PARAMS, data/dataset.py:27-36).
+# HDF5 chunk-cache + remote-IO tuning (reference IO_PARAMS,
+# data/dataset.py:27-36): 8 MiB chunk cache; for non-local paths, fsspec
+# block-cached reads of 8 MiB blocks.
 H5_PARAMS = {"rdcc_nbytes": 8 * 1024 * 1024}
+FSSPEC_PARAMS = {"cache_type": "blockcache", "block_size": 8 * 1024 * 1024}
 
 
 def compute_windows(total_steps: int, n_steps_input: int, n_steps_output: int, dt_stride: int) -> int:
@@ -80,13 +83,23 @@ class TanteDataset:
         min_std: float = 1e-4,
         **_unused: Any,
     ):
-        self.data_path = os.path.join(base_path, dataset_name, "data", split_name)
-        self.normalization_path = os.path.join(base_path, dataset_name, "stats.yaml")
+        # fsspec filesystem resolution: local paths stay plain h5py opens;
+        # remote URIs (s3://, gs://, http(s)://, ...) read through an 8 MiB
+        # fsspec blockcache (reference data/dataset.py:27-36,182-184).
+        import fsspec
+
+        self._fs, _ = fsspec.core.url_to_fs(base_path)
+        proto = self._fs.protocol
+        proto = proto[0] if isinstance(proto, (tuple, list)) else proto
+        self._is_local = proto in ("file", "local")
+
+        self.data_path = "/".join([base_path.rstrip("/"), dataset_name, "data", split_name])
+        self.normalization_path = "/".join([base_path.rstrip("/"), dataset_name, "stats.yaml"])
         self.n_steps_input = n_steps_input
         self.n_steps_output = n_steps_output
         self.dt_stride = dt_stride
 
-        with open(self.normalization_path) as f:
+        with self._fs.open(self.normalization_path, "r") as f:
             stats = yaml.safe_load(f)
         # Per-field z-score stats with std clipped from below
         # (reference data/dataset.py:86-89).
@@ -96,10 +109,11 @@ class TanteDataset:
             for k, v in stats["std"].items()
         }
 
+        listed = self._fs.ls(self.data_path, detail=False)
         files = sorted(
-            os.path.join(self.data_path, f)
-            for f in os.listdir(self.data_path)
-            if f.endswith((".h5", ".hdf5"))
+            self._fs.unstrip_protocol(p) if not self._is_local else p
+            for p in listed
+            if p.endswith((".h5", ".hdf5"))
         )
         include_filters = include_filters or []
         exclude_filters = exclude_filters or []
@@ -116,6 +130,11 @@ class TanteDataset:
         self._handles: List[Optional[h5.File]] = [None] * len(self.files_paths)
         self.metadata = self._build_metadata()
 
+    def _open_h5(self, path: str) -> h5.File:
+        if self._is_local:
+            return h5.File(path, "r", **H5_PARAMS)
+        return h5.File(self._fs.open(path, "rb", **FSSPEC_PARAMS), "r", **H5_PARAMS)
+
     # ------------------------------------------------------------------
     def _build_metadata(self) -> TanteMetadata:
         self.n_trajectories_per_file: List[int] = []
@@ -126,7 +145,7 @@ class TanteDataset:
         self.field_names: Dict[int, List[str]] = {i: [] for i in range(3)}
 
         for index, path in enumerate(self.files_paths):
-            with h5.File(path, "r", **H5_PARAMS) as f:
+            with self._open_h5(path) as f:
                 trajectories = int(f.attrs["n_trajectories"])
                 steps = f["dimensions"]["time"].shape[-1]
                 windows = compute_windows(
@@ -186,9 +205,7 @@ class TanteDataset:
         # Lazy per-process handle (reference data/dataset.py:182-184); with
         # thread workers h5py serializes access internally.
         if self._handles[file_idx] is None:
-            self._handles[file_idx] = h5.File(
-                self.files_paths[file_idx], "r", **H5_PARAMS
-            )
+            self._handles[file_idx] = self._open_h5(self.files_paths[file_idx])
         return self._handles[file_idx]
 
     def _reconstruct_fields(

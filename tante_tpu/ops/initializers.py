@@ -34,8 +34,12 @@ def torch_bias_init(fan_in: int) -> Initializer:
 def complex_spectral_init(in_channels: int, out_channels: int) -> Initializer:
     """SpectralLayer weight init (reference ``enc_dec_fno.py:191-194``):
     complex normal scaled by 1/sqrt(Cin*Cout); stored as a trailing [re, im]
-    axis of a real array (TPU has no complex parameter support in optax)."""
-    scale = 1.0 / (in_channels * out_channels) ** 0.5
+    axis of a real array (TPU has no complex parameter support in optax).
+
+    torch's ``randn(dtype=cfloat)`` draws re/im each from N(0, 1/2) (unit
+    E|z|^2), so each real component gets an extra 1/sqrt(2)
+    (parity-fixture-tested in tests/test_numerical_parity.py)."""
+    scale = 1.0 / (2.0 * in_channels * out_channels) ** 0.5
 
     def init(key, shape, dtype=jnp.float32):
         return jax.random.normal(key, shape, dtype) * scale

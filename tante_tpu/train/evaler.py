@@ -125,15 +125,13 @@ class Evaler:
         self._rollout = self._build_rollout()
 
     def load_checkpoint(self, checkpoint_path: str) -> None:
-        """Model weights only (reference ``trainer/evaler.py:113-118``)."""
+        """Model weights only (reference ``trainer/evaler.py:113-118``);
+        tree/shape-validated against the model so a stale checkpoint fails
+        with a clear message (utils/checkpoint.py:_validate_tree)."""
         logger.info("Loading checkpoint from %s", checkpoint_path)
-        import orbax.checkpoint as ocp
-
-        restored = ocp.StandardCheckpointer().restore(checkpoint_path, None)
+        restored = self.ckpt.restore_params(checkpoint_path, self.params)
         self.params = jax.tree.map(
-            lambda t, r: jnp.asarray(r, dtype=t.dtype),
-            self.params,
-            restored["params"],
+            lambda t, r: jnp.asarray(r, dtype=t.dtype), self.params, restored
         )
 
     def _build_rollout(self):

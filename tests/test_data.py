@@ -1,5 +1,7 @@
 """Data layer: window math, dataset reads, datamodule, loader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -197,3 +199,40 @@ def test_t2_tensor_fields(tmp_path):
     assert md.field_names[2] == ["stress_xx", "stress_xy", "stress_yx", "stress_yy"]
     item = ds[0]
     assert item["input"].shape == (2, 8, 16, 7)
+
+
+def test_dataset_remote_uri_via_fsspec(well_root):
+    """Remote (non-local) dataset paths read through fsspec blockcache
+    (reference data/dataset.py:27-36,182-184): exercised with memory://."""
+    import fsspec
+
+    from tante_tpu.data.dataset import TanteDataset
+
+    # Mirror the local synthetic Well tree into the in-memory filesystem.
+    mem = fsspec.filesystem("memory")
+    base = os.path.join(well_root, "synthetic_waves")
+    for root, _dirs, files in os.walk(base):
+        for fname in files:
+            src = os.path.join(root, fname)
+            dst = "/remote_well/synthetic_waves" + src[len(base):]
+            with open(src, "rb") as f:
+                mem.pipe_file(dst, f.read())
+
+    local = TanteDataset(
+        base_path=well_root,
+        dataset_name="synthetic_waves",
+        split_name="train",
+        n_steps_input=4,
+        n_steps_output=2,
+    )
+    remote = TanteDataset(
+        base_path="memory://remote_well",
+        dataset_name="synthetic_waves",
+        split_name="train",
+        n_steps_input=4,
+        n_steps_output=2,
+    )
+    assert len(remote) == len(local)
+    a, b = local[3], remote[3]
+    np.testing.assert_array_equal(a["input"], b["input"])
+    np.testing.assert_array_equal(a["output"], b["output"])
