@@ -1,0 +1,141 @@
+"""Reproduce a BASELINE.md row end-to-end: train then eval L2RE@4-step.
+
+Usage:
+  python scripts/reproduce_baseline.py <benchmark> [--model tante] [--synthetic]
+      [--epochs N] [--base-path datasets] [--choose best] [override ...]
+
+``<benchmark>`` is one of tr/am/vf/rb (or the full Well dataset name).  With
+real Well data under ``<base-path>/<dataset>/data/{train,valid,test}``, this
+runs the exact published protocol (reference ``eval.py`` with
+``evaler.n_steps_rollout: 4``; see BASELINE.md).  With ``--synthetic`` it
+generates a small synthetic Well-format dataset first so the full pipeline
+dry-runs anywhere (accuracy numbers are then NOT comparable to the table —
+the script says so in its report).
+
+Prints one JSON report with the measured L2RE@4-step next to the published
+reference value for the chosen model/benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCHMARKS = {
+    "tr": "turbulent_radiative_layer_2D",
+    "am": "active_matter",
+    "vf": "viscoelastic_instability",
+    "rb": "rayleigh_benard",
+}
+
+# L2RE@4-step, mean, from BASELINE.md (docs/table.png of the reference).
+PUBLISHED_L2RE = {
+    "fno": {"tr": 0.1751, "am": 0.3145, "vf": 0.1955, "rb": 0.1817},
+    "tfno": {"tr": 0.1755, "am": 0.3133, "vf": 0.1970, "rb": 0.1814},
+    "afno": {"tr": 0.1090, "am": 0.1179, "vf": 0.2840, "rb": 0.0799},
+    "uno": {"tr": 0.1282, "am": 0.1128, "vf": 0.2959, "rb": 0.4243},
+    "unet_convnext": {"tr": 0.1049, "am": 0.1338, "vf": 0.1723, "rb": 0.1016},
+    "unet_att": {"tr": 0.1056, "am": 0.1120, "vf": 0.0818, "rb": 0.0745},
+    "dpot": {"tr": 0.1274, "am": 0.2243, "vf": 0.2670, "rb": 0.0742},
+    "avit": {"tr": 0.1264, "am": 0.1539, "vf": 0.0443, "rb": 0.0933},
+    "cvit": {"tr": 0.0882, "am": 0.0375, "vf": 0.2315, "rb": 0.2891},
+    "tante": {"tr": 0.0790, "am": 0.0286, "vf": 0.0270, "rb": 0.0285},  # TANTE-1
+    "tante_adaptive": {"tr": 0.0790, "am": 0.0286, "vf": 0.0270, "rb": 0.0285},
+}
+
+
+def run_eval(config_name: str, overrides: list[str], choose: str) -> dict:
+    """Library-level twin of ``tante_tpu.cli.eval`` that returns the report."""
+    from tante_tpu.config import instantiate, load_config, set_ckpt
+    from tante_tpu.utils.logging import MetricLogger
+    from tante_tpu.utils.seeding import set_seed
+
+    cfg = load_config(config_name, overrides=overrides)
+    cfg.data.eval_steps_output = cfg.evaler.n_steps_rollout
+    cfg, checkpoint_folder = set_ckpt(cfg, choose=choose)
+    set_seed(cfg.seed)
+    datamodule = instantiate(cfg.data, seed=cfg.seed)
+    model = instantiate(cfg.model, dset_metadata=datamodule.train_dataset.metadata)
+    evaler = instantiate(
+        cfg.evaler,
+        checkpoint_folder=checkpoint_folder,
+        model=model,
+        datamodule=datamodule,
+        batch_size=cfg.data.batch_size,
+        metric_logger=MetricLogger(checkpoint_folder),
+    )
+    return evaler.Eval(mode="common")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("benchmark", help="tr/am/vf/rb or a Well dataset name")
+    parser.add_argument("--model", default="tante", help="config name (configs/<model>.yaml)")
+    parser.add_argument("--synthetic", action="store_true", help="generate synthetic data first")
+    parser.add_argument("--epochs", type=int, default=None, help="override trainer.max_epoch")
+    parser.add_argument("--base-path", default="datasets")
+    parser.add_argument("--choose", default="best", choices=["best", "recent"])
+    parser.add_argument("--skip-train", action="store_true", help="eval an existing checkpoint only")
+    parser.add_argument("overrides", nargs="*", help="extra dotted key=value overrides")
+    args = parser.parse_args(argv)
+
+    key = args.benchmark.lower()
+    dataset = BENCHMARKS.get(key, args.benchmark)
+    short = {v: k for k, v in BENCHMARKS.items()}.get(dataset, dataset)
+
+    if args.synthetic:
+        from tante_tpu.data.synthetic import make_well_dataset
+
+        make_well_dataset(
+            args.base_path,
+            dataset_name=dataset,
+            n_trajectories=4,
+            n_steps=24,
+            resolution=(32, 64),
+        )
+
+    experiment = f"{args.model}_{short}_repro"
+    overrides = [
+        f"data.base_path={args.base_path}",
+        f"data.dataset_name={dataset}",
+        f"experiment={experiment}",
+    ] + list(args.overrides)
+    if args.epochs is not None:
+        overrides.append(f"trainer.max_epoch={args.epochs}")
+
+    if not args.skip_train:
+        from tante_tpu.cli.train import main as train_main
+
+        train_main([f"--config-name={args.model}"] + overrides)
+
+    # Published protocol: 4-step rollout eval (reference configs/*.yaml
+    # evaler.n_steps_rollout: 4).
+    report = run_eval(
+        args.model, overrides + ["evaler.n_steps_rollout=4"], choose=args.choose
+    )
+    l2re = report["metrics"].get("L2RE")
+    published = PUBLISHED_L2RE.get(args.model, {}).get(short)
+    out = {
+        "benchmark": dataset,
+        "model": args.model,
+        "protocol": "L2RE@4-step (BASELINE.md)",
+        "measured_l2re": l2re,
+        "published_l2re": published,
+        "comparable": not args.synthetic,
+        "note": (
+            "synthetic data: pipeline dry-run only, accuracy not comparable to the table"
+            if args.synthetic
+            else "real Well data: directly comparable to BASELINE.md"
+        ),
+        "all_metrics": report["metrics"],
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -135,7 +135,10 @@ def set_ckpt(cfg: Config, choose: str = "recent") -> tuple:
     and ``cfg.evaler.checkpoint_path``.  Checkpoints here are orbax
     directories (``recent/`` / ``best/``) rather than ``.pt`` files.
     """
-    experiment_folder = os.path.join(cfg["root_path"], "experiments", cfg["experiment"])
+    # Absolute: orbax's tensorstore layer rejects relative checkpoint paths.
+    experiment_folder = os.path.abspath(
+        os.path.join(cfg["root_path"], "experiments", cfg["experiment"])
+    )
     checkpoint_path = ""
     if os.path.exists(experiment_folder):
         candidate = os.path.join(experiment_folder, choose)

@@ -141,6 +141,7 @@ class WellPackLoader:
         num_threads: int = 4,
         ring_slots: int = 3,
         sharding: Optional[Any] = None,
+        prefetch: int = 2,
     ):
         lib = get_library()
         if lib is None:
@@ -161,6 +162,7 @@ class WellPackLoader:
         self.num_threads = num_threads
         self.ring_slots = ring_slots
         self.sharding = sharding
+        self.prefetch = prefetch
         self._epoch = 0
 
         from tante_tpu.data.dataset import compute_windows
@@ -178,6 +180,21 @@ class WellPackLoader:
         return self.n_items // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        """Double-buffered iteration: ``jax.device_put`` is asynchronous, so
+        dispatching the next batch's H2D transfer *before* yielding the
+        previous one overlaps staging with both the consumer's compute and
+        the C++ assembly threads (a ``prefetch``-deep pipeline)."""
+        from collections import deque
+
+        pending: deque = deque()
+        for batch in self._produce():
+            pending.append(batch)
+            if len(pending) > self.prefetch:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
+
+    def _produce(self) -> Iterator[Dict[str, jax.Array]]:
         order = np.arange(self.n_items, dtype=np.int64)
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)

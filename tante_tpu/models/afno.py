@@ -37,7 +37,11 @@ class AFNOFilter(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h, w = x.shape[-3], x.shape[-2]
+        # Rank-agnostic: spatial axes are everything between batch and
+        # channels ((H, W) for 2-D patches, (D, H, W) for the 3-D path —
+        # reference AFNO_ND, ``models/afno.py:196-218``).
+        axes = tuple(range(1, x.ndim - 1))
+        sizes = x.shape[1:-1]
         nb = self.num_blocks
         bs = self.hidden_size // nb
         assert self.hidden_size % nb == 0
@@ -52,7 +56,7 @@ class AFNOFilter(nn.Module):
         w2 = self.param("w2", w_init, (2, nb, bs, bs))
 
         orig_dtype = x.dtype
-        xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(-3, -2), norm="ortho")
+        xf = jnp.fft.rfftn(x.astype(jnp.float32), axes=axes, norm="ortho")
         xf = xf.reshape(*xf.shape[:-1], nb, bs)
         re, im = xf.real, xf.imag
         re, im = block_diag_complex_matmul(re, im, w1[0], w1[1])
@@ -61,7 +65,7 @@ class AFNOFilter(nn.Module):
         re = softshrink(re, self.sparsity_threshold)
         im = softshrink(im, self.sparsity_threshold)
         yf = (re + 1j * im).reshape(*re.shape[:-2], self.hidden_size)
-        y = jnp.fft.irfft2(yf, s=(h, w), axes=(-3, -2), norm="ortho")
+        y = jnp.fft.irfftn(yf, s=sizes, axes=axes, norm="ortho")
         return y.astype(orig_dtype)
 
 
@@ -108,21 +112,26 @@ class AFNO(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """(B, T, H, W, C) -> (B, 1, H, W, C)."""
-        b, t, h, w, c = x.shape
+        """(B, T, *spatial, C) -> (B, 1, *spatial, C); spatial is (H, W) or
+        (D, H, W) (reference Conv3d patch-embed path, ``models/afno.py:196-218``)."""
+        b, t, c = x.shape[0], x.shape[1], x.shape[-1]
+        spatial = x.shape[2:-1]
         p = self.patch_size
-        z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)
+        patch = (p,) * len(spatial)
+        z = jnp.moveaxis(x, 1, -2).reshape(b, *spatial, t * c)
         z = nn.Conv(
             self.hidden_dim,
-            kernel_size=(p, p),
-            strides=(p, p),
+            kernel_size=patch,
+            strides=patch,
             padding="VALID",
             kernel_init=trunc02,
             dtype=self.dtype,
             name="patch_embed",
         )(z)
         pos = self.param(
-            "pos_embed", trunc02, (1, h // p, w // p, self.hidden_dim)
+            "pos_embed",
+            trunc02,
+            (1, *(s // p for s in spatial), self.hidden_dim),
         )
         z = z + pos
         z = nn.Dropout(self.drop_rate)(z, deterministic=deterministic)
@@ -136,11 +145,11 @@ class AFNO(nn.Module):
             )(z)
         z = nn.ConvTranspose(
             c,
-            kernel_size=(p, p),
-            strides=(p, p),
+            kernel_size=patch,
+            strides=patch,
             padding="VALID",
             kernel_init=trunc02,
             dtype=self.dtype,
             name="patch_debed",
         )(z)
-        return z[:, None]  # (B, 1, H, W, C)
+        return z[:, None]  # (B, 1, *spatial, C)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
 from tante_tpu.ops.initializers import complex_spectral_init
-from tante_tpu.ops.spectral import spectral_conv2d_centered
+from tante_tpu.ops.spectral import spectral_conv2d_centered, spectral_conv3d_centered
 
 
 class SoftGate(nn.Module):
@@ -40,23 +40,39 @@ class SoftGate(nn.Module):
 
 
 class FNOBlock(nn.Module):
+    """One FNO layer; the spatial rank (2-D or 3-D) is inferred from the
+    input, matching the reference's ``n_spatial_dims``-driven mode tuples
+    (``models/fno.py:102-106``)."""
+
     hidden: int
     modes1: int
     modes2: int
+    modes3: int = 16
     last: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        m2r = self.modes2 // 2 + 1
-        weight = self.param(
-            "spectral_weight",
-            complex_spectral_init(self.hidden, self.hidden),
-            (self.hidden, self.hidden, self.modes1, m2r, 2),
-        )
-        y = spectral_conv2d_centered(
-            x.astype(jnp.float32), weight, self.modes1, self.modes2
-        ).astype(x.dtype)
+        if x.ndim == 5:  # (B, D, H, W, C): 3-D spatial path
+            m3r = self.modes3 // 2 + 1
+            weight = self.param(
+                "spectral_weight",
+                complex_spectral_init(self.hidden, self.hidden),
+                (self.hidden, self.hidden, self.modes1, self.modes2, m3r, 2),
+            )
+            y = spectral_conv3d_centered(
+                x.astype(jnp.float32), weight, self.modes1, self.modes2, self.modes3
+            ).astype(x.dtype)
+        else:
+            m2r = self.modes2 // 2 + 1
+            weight = self.param(
+                "spectral_weight",
+                complex_spectral_init(self.hidden, self.hidden),
+                (self.hidden, self.hidden, self.modes1, m2r, 2),
+            )
+            y = spectral_conv2d_centered(
+                x.astype(jnp.float32), weight, self.modes1, self.modes2
+            ).astype(x.dtype)
         y = y + TorchDense(self.hidden, dtype=self.dtype)(x)  # linear fno skip
         y = nn.gelu(y, approximate=False)
         z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)
@@ -82,9 +98,11 @@ class FNO(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """(B, T, H, W, C) -> (B, 1, H, W, C)."""
-        b, t, h, w, c = x.shape
-        z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)  # fold T into channels
+        """(B, T, *spatial, C) -> (B, 1, *spatial, C); spatial is (H, W) or
+        (D, H, W) (reference 3-D constructor path, ``models/fno.py:102-106``)."""
+        b, t, c = x.shape[0], x.shape[1], x.shape[-1]
+        spatial = x.shape[2:-1]
+        z = jnp.moveaxis(x, 1, -2).reshape(b, *spatial, t * c)  # fold T into channels
         z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
         z = nn.gelu(z, approximate=False)
         z = TorchDense(self.hidden_channels, dtype=self.dtype)(z)
@@ -96,6 +114,7 @@ class FNO(nn.Module):
                 hidden=self.hidden_channels,
                 modes1=self.modes1,
                 modes2=self.modes2,
+                modes3=self.modes3,
                 last=(i == self.n_layers - 1),
                 dtype=self.dtype,
             )(z)

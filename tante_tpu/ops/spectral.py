@@ -113,6 +113,57 @@ def spectral_conv2d_centered(
     return jnp.fft.irfft2(y_ft, s=(h, w), axes=(-3, -2), norm="ortho")
 
 
+def spectral_conv3d_centered(
+    x: jnp.ndarray, weight: jnp.ndarray, modes1: int, modes2: int, modes3: int
+) -> jnp.ndarray:
+    """Centered-mode 3-D spectral convolution (neuralop-style selection).
+
+    The 3-D constructor path of the reference FNO (``models/fno.py:102-106``
+    builds 3-D mode tuples for ``neuralop.models.FNO``): rfftn over (D, H, W),
+    keep the centered ``m1``/``m2`` frequencies of the two full axes (positive
+    ``ceil(m/2)`` + negative ``floor(m/2)``) and the first ``m3r = m3//2 + 1``
+    one-sided W columns, one weight tensor over all kept modes.
+
+    x: (B, D, H, W, Cin); weight: (Cin, Cout, m1, m2, m3r, 2).
+    Returns (B, D, H, W, Cout).
+    """
+    d, h, w = x.shape[1:4]
+    x_ft = jnp.fft.rfftn(x, axes=(1, 2, 3), norm="ortho")  # (B, D, H, Wf, Cin)
+    wf = x_ft.shape[3]
+    m1 = min(modes1, d)
+    m2 = min(modes2, h)
+    m3r = min(modes3 // 2 + 1, wf)
+    m1p, m1n = (m1 + 1) // 2, m1 - (m1 + 1) // 2
+    m2p, m2n = (m2 + 1) // 2, m2 - (m2 + 1) // 2
+
+    w_c = (weight[..., 0] + 1j * weight[..., 1])[:, :, :, :, :m3r]
+    c_out = weight.shape[1]
+    y_ft = jnp.zeros((x.shape[0], d, h, wf, c_out), dtype=x_ft.dtype)
+
+    # Four centered corners: (pos/neg D-frequencies) x (pos/neg H-frequencies).
+    corners = [
+        (slice(0, m1p), slice(0, m1p)),
+        (slice(d - m1n, d), slice(m1p, m1)) if m1n else None,
+    ]
+    corners_h = [
+        (slice(0, m2p), slice(0, m2p)),
+        (slice(h - m2n, h), slice(m2p, m2)) if m2n else None,
+    ]
+    for c1 in corners:
+        if c1 is None:
+            continue
+        sl1, wsl1 = c1
+        for c2 in corners_h:
+            if c2 is None:
+                continue
+            sl2, wsl2 = c2
+            block = x_ft[:, sl1, sl2, :m3r, :]
+            y_ft = y_ft.at[:, sl1, sl2, :m3r, :].set(
+                jnp.einsum("bijkc,coijk->bijko", block, w_c[:, :, wsl1, wsl2])
+            )
+    return jnp.fft.irfftn(y_ft, s=(d, h, w), axes=(1, 2, 3), norm="ortho")
+
+
 class SpectralLayer(nn.Module):
     """Spectral conv + 1x1 conv residual (reference ``SpectralLayer``)."""
 

@@ -10,9 +10,13 @@ mesh axis ('sp') with
   zero-padded edges), the primitive convolutions need,
 - ``sharded_conv2d`` -- shard_map wrapper running a 'same'-padded conv on
   H-shards with halos so the result is bitwise-equal to the unsharded conv,
-- ``sharded_rfft2``  -- all-gather along 'sp', local FFT, re-slice (spectral
-  layers mix globally along H, so a gather is required; a transpose-based
-  distributed FFT is a later optimization).
+- ``sharded_rfft2`` / ``sharded_irfft2`` -- transpose-based distributed
+  2-D (i)rFFT: local rFFT along the unsharded W axis, then an
+  ``all_to_all`` re-shard so the H axis becomes locally complete while the
+  W-frequency axis is sharded, local FFT along H, and an ``all_to_all``
+  back.  Peak per-device memory is O(H_full * W_freq / n) — never the full
+  (H, W) plane — vs. the O(H_full * W_freq) of the earlier all-gather
+  design.
 
 All functions are meant to be called under ``shard_map`` or used through
 the provided wrappers that set one up.
@@ -83,19 +87,44 @@ def sharded_conv2d(
     )(x, kernel)
 
 
+def _transposed_fft_h(xf: jnp.ndarray, axis_name: str, inverse: bool) -> jnp.ndarray:
+    """(i)FFT along the *sharded* H axis of an (B, H_loc, Wf, C) spectrum via
+    the transpose trick: all_to_all so H becomes locally complete (W-frequency
+    axis sharded instead), transform locally, all_to_all back.
+
+    ``numpy.fft.rfft2`` = rfft along W then full fft along H, so composing
+    this with a local W-rfft reproduces rfft2 exactly (ortho norms multiply:
+    1/sqrt(W) * 1/sqrt(H) = 1/sqrt(H*W)).  Peak per-device footprint is the
+    (B, H_full, ceil(Wf/n), C) transposed block — O(full/n), never the full
+    plane.  Runs inside shard_map over ``axis_name``.
+    """
+    n = jax.lax.psum(1, axis_name)
+    wf = xf.shape[2]
+    pad = (-wf) % n
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    # (B, H_loc, Wf_p, C) -> (B, H_full, Wf_p/n, C): W-frequency columns
+    # scatter across devices, H rows gather locally.
+    xt = jax.lax.all_to_all(xf, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    xt = (jnp.fft.ifft if inverse else jnp.fft.fft)(xt, axis=1, norm="ortho")
+    # Padded frequency columns stay exactly zero through the H transform and
+    # are sliced off after the inverse transpose.
+    out = jax.lax.all_to_all(xt, axis_name, split_axis=1, concat_axis=2, tiled=True)
+    if pad:
+        out = out[:, :, :wf]
+    return out
+
+
 def sharded_rfft2(
     mesh: Mesh, x: jnp.ndarray, axis_name: str = "sp"
 ) -> jnp.ndarray:
-    """rfft2 over (H, W) of an H-sharded (B, H, W, C): gather H locally,
-    transform, return the H-sharded spectrum (H frequencies re-sharded)."""
+    """rfft2 over (H, W) of an H-sharded (B, H, W, C) without ever
+    materializing the full field on one device (transpose-based distributed
+    FFT; see ``_transposed_fft_h``). Returns the H-sharded spectrum."""
 
     def local(x_loc):
-        full = jax.lax.all_gather(x_loc, axis_name, axis=1, tiled=True)
-        xf = jnp.fft.rfft2(full, axes=(1, 2), norm="ortho")
-        n = jax.lax.psum(1, axis_name)
-        idx = jax.lax.axis_index(axis_name)
-        shard = xf.shape[1] // n
-        return jax.lax.dynamic_slice_in_dim(xf, idx * shard, shard, axis=1)
+        xf = jnp.fft.rfft(x_loc, axis=2, norm="ortho")
+        return _transposed_fft_h(xf, axis_name, inverse=False)
 
     return shard_map(
         local,
@@ -103,6 +132,25 @@ def sharded_rfft2(
         in_specs=P(None, axis_name, None, None),
         out_specs=P(None, axis_name, None, None),
     )(x)
+
+
+def sharded_irfft2(
+    mesh: Mesh, xf: jnp.ndarray, w_size: int, axis_name: str = "sp"
+) -> jnp.ndarray:
+    """Inverse of ``sharded_rfft2``: H-sharded (B, Hf_loc, Wf, C) complex
+    spectrum back to the H-sharded real field.  ``w_size`` is the full
+    spatial W (the one-sided Wf axis is ambiguous about W's parity)."""
+
+    def local(x_loc):
+        xt = _transposed_fft_h(x_loc, axis_name, inverse=True)
+        return jnp.fft.irfft(xt, n=w_size, axis=2, norm="ortho")
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, axis_name, None, None),
+        out_specs=P(None, axis_name, None, None),
+    )(xf)
 
 
 def spatial_sharding(mesh: Mesh, axis_name: str = "sp") -> NamedSharding:

@@ -287,3 +287,40 @@ def test_cvit_embedding_types():
         params = model.init(jax.random.PRNGKey(0), x, coords)
         y = model.apply(params, x, coords)
         assert y.shape == (1, 1, 5, 3)
+
+
+def test_fno_3d_constructor_path():
+    """Reference FNO accepts n_spatial_dims == 3 (``models/fno.py:102-106``
+    builds 3-D mode tuples); our FNOBlock infers the rank from the input."""
+    from tante_tpu.models import FNO
+
+    model = FNO(in_T=2, modes1=4, modes2=4, modes3=4, hidden_channels=16, n_layers=2)
+    _, y = _run(model, x_shape=(1, 2, 8, 8, 12, 3))
+    assert y.shape == (1, 1, 8, 8, 12, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_afno_3d_constructor_path():
+    """Reference AFNO has a Conv3d patch embed (``models/afno.py:196-218``)."""
+    from tante_tpu.models import AFNO
+
+    model = AFNO(in_T=2, hidden_dim=32, n_blocks=2, cmlp_diagonal_blocks=4, patch_size=2)
+    _, y = _run(model, x_shape=(1, 2, 8, 8, 12, 3))
+    assert y.shape == (1, 1, 8, 8, 12, 3)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_spectral_conv3d_reduces_to_2d_at_depth_one():
+    """With D=1, the 3-D centered spectral conv must equal the 2-D one
+    (the D-axis FFT of a single plane is the identity under ortho norm)."""
+    from tante_tpu.ops.spectral import (
+        spectral_conv2d_centered,
+        spectral_conv3d_centered,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 3)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 5, 6, 4, 2)).astype(np.float32))
+    y2 = spectral_conv2d_centered(x, w2, 6, 6)
+    y3 = spectral_conv3d_centered(x[:, None], w2[:, :, None], 1, 6, 6)
+    np.testing.assert_allclose(np.asarray(y3[:, 0]), np.asarray(y2), atol=1e-5)
