@@ -16,6 +16,17 @@ import jax
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# Persistent XLA compilation cache: the suite is compile-dominated on CPU
+# (hundreds of small jit/shard_map programs), so repeat runs — CI retries,
+# driver + judge sessions on the same host — skip most of that cost.
+_cache_dir = os.environ.get("TANTE_JAX_CACHE", "/tmp/tante_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without these flags: run uncached
+    pass
+
 import numpy as np
 import pytest
 

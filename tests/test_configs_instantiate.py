@@ -63,21 +63,20 @@ def test_config_model_instantiates_and_runs(name):
     model = instantiate(cfg.model, dset_metadata=MD)
     x = jnp.ones((1, cfg.data.n_steps_input, 64, 128, 3))
 
+    # init_with_output: one forward pass checks both construction and run
+    # (a separate apply() doubled the CPU eager cost of this file).
     is_adaptive = not getattr(model, "deg", True)
     is_cvit = cfg.trainer.get("cvit", False)
     if is_cvit:
         coords = jnp.zeros((8, 2))
-        params = model.init(jax.random.PRNGKey(0), x, coords)
-        y = model.apply(params, x, coords)
+        y, _ = model.init_with_output(jax.random.PRNGKey(0), x, coords)
         assert y.shape[0] == 1 and y.shape[2] == 8 and y.shape[3] == 3
     elif is_adaptive:
-        params = model.init(jax.random.PRNGKey(0), x, 1.5)
-        y, rt = model.apply(params, x, 1.5)
+        (y, rt), _ = model.init_with_output(jax.random.PRNGKey(0), x, 1.5)
         assert y.shape == (1, 1, 64, 128, 3)
         assert rt.shape == (1,)
     else:
-        params = model.init(jax.random.PRNGKey(0), x)
-        y = model.apply(params, x)
+        y, _ = model.init_with_output(jax.random.PRNGKey(0), x)
         assert y.shape[0] == 1 and y.shape[2:] == (64, 128, 3)
 
     # Losses/optimizer/scheduler instantiate through the registry too.

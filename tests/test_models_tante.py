@@ -27,19 +27,16 @@ def test_enc_dec_cnn_roundtrip_shapes():
     enc = EncCNN(dset_metadata=MD, embed_dim=64, patch_scale=8)
     dec = DecCNN(dset_metadata=MD, embed_dim=64, patch_scale=8)
     x = jnp.ones((2, 4, 32, 64, 3))
-    pe = enc.init(jax.random.PRNGKey(0), x)
-    z = enc.apply(pe, x)
+    z, _ = enc.init_with_output(jax.random.PRNGKey(0), x)
     assert z.shape == (2, 4, 4, 8, 64)
-    pd = dec.init(jax.random.PRNGKey(1), z)
-    y = dec.apply(pd, z)
+    y, _ = dec.init_with_output(jax.random.PRNGKey(1), z)
     assert y.shape == (2, 4, 32, 64, 3)
 
 
 def test_enc_dec_cnn_overlap():
     enc = EncCNN(dset_metadata=MD, embed_dim=32, patch_scale=8, overlap_ratio=0.5)
     x = jnp.ones((1, 2, 32, 64, 3))
-    pe = enc.init(jax.random.PRNGKey(0), x)
-    z = enc.apply(pe, x)
+    z, _ = enc.init_with_output(jax.random.PRNGKey(0), x)
     assert z.shape == (1, 2, 4, 8, 32)  # exact grid enforced by adaptive pool
 
 
@@ -47,11 +44,9 @@ def test_enc_dec_fno_roundtrip_shapes():
     enc = EncFNO(dset_metadata=MD, embed_dim=64, modes=(8, 8), patch_scale=8)
     dec = DecFNO(dset_metadata=MD, embed_dim=64, modes=(8, 8), patch_scale=8)
     x = jnp.ones((2, 3, 32, 64, 3))
-    pe = enc.init(jax.random.PRNGKey(0), x)
-    z = enc.apply(pe, x)
+    z, _ = enc.init_with_output(jax.random.PRNGKey(0), x)
     assert z.shape == (2, 3, 4, 8, 64)
-    pd = dec.init(jax.random.PRNGKey(1), z)
-    y = dec.apply(pd, z)
+    y, _ = dec.init_with_output(jax.random.PRNGKey(1), z)
     assert y.shape == (2, 3, 32, 64, 3)
 
 
@@ -59,8 +54,7 @@ def test_enc_dec_fno_roundtrip_shapes():
 def test_attn_backbone_axes(axes):
     m = AttnBackbone(tensor_shape=(3, 4, 8, 32), attn_axes=axes, expanded_channel=16, n_head=4)
     x = jnp.ones((2, 3, 4, 8, 32))
-    p = m.init(jax.random.PRNGKey(0), x)
-    y = m.apply(p, x)
+    y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
 
@@ -78,8 +72,7 @@ def test_tante_fixed_mode():
         n_head=4,
     )
     x = jnp.ones((2, 4, 32, 64, 3))
-    p = model.init(jax.random.PRNGKey(0), x)
-    y = model.apply(p, x)
+    y, _ = model.init_with_output(jax.random.PRNGKey(0), x)
     assert y.shape == (2, 3, 32, 64, 3)
 
 
@@ -88,8 +81,7 @@ def test_tante_crops_longer_history():
         in_T=4, dset_metadata=MD, attn_axes="T", embed_dim=32, patch_scale=8, n_head=4
     )
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 32, 64, 3))
-    p = model.init(jax.random.PRNGKey(0), x)
-    y_full = model.apply(p, x)
+    y_full, p = model.init_with_output(jax.random.PRNGKey(0), x)
     y_crop = model.apply(p, x[:, -4:])
     np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_crop), atol=1e-5)
 
@@ -106,8 +98,7 @@ def test_tante_adaptive_mode():
         n_head=4,
     )
     x = jnp.ones((2, 4, 32, 64, 3))
-    p = model.init(jax.random.PRNGKey(0), x, 1.5)
-    frames, rt = model.apply(p, x, 1.5)
+    (frames, rt), p = model.init_with_output(jax.random.PRNGKey(0), x, 1.5)
     assert frames.shape == (2, 1, 32, 64, 3)  # out_T=1.5 -> 1 frame slot
     assert rt.shape == (2,)
     assert float(rt.min()) >= 1.001 - 1e-6
@@ -135,8 +126,7 @@ def test_tante_taylor_sum_matches_hand_computation():
         n_head=4,
     )
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 64, 3))
-    p = model.init(jax.random.PRNGKey(1), x)
-    y = model.apply(p, x)
+    y, _ = model.init_with_output(jax.random.PRNGKey(1), x)
 
     # Recompute derivatives by calling with output_length=1 twice is not
     # possible directly; instead verify the Taylor structure: the three

@@ -25,10 +25,17 @@ X_SHAPE = (B, T, 32, 64, 3)
 
 
 def _run(model, x_shape=X_SHAPE, **apply_kw):
+    # init_with_output = ONE forward pass for both params and output
+    # (init + apply ran the model twice; this file is CPU-budgeted).
     x = jax.random.normal(jax.random.PRNGKey(0), x_shape)
-    params = model.init(jax.random.PRNGKey(1), x)
-    y = model.apply(params, x, **apply_kw)
+    y, params = model.init_with_output(jax.random.PRNGKey(1), x, **apply_kw)
     return params, y
+
+
+def _param_shapes(model, x_shape=X_SHAPE, *args):
+    """Parameter tree via jax.eval_shape — no FLOPs, param-count tests only."""
+    x = jax.ShapeDtypeStruct(x_shape, jnp.float32)
+    return jax.eval_shape(model.init, jax.random.PRNGKey(1), x, *args)
 
 
 def n_params(params):
@@ -49,8 +56,7 @@ def test_fno_param_count_matches_table():
     from tante_tpu.models import FNO
 
     model = FNO(in_T=4, dset_metadata=MD, modes1=20, modes2=20, hidden_channels=48)
-    params, _ = _run(model)
-    total = n_params(params)
+    total = n_params(_param_shapes(model))
     assert 3.0e6 < total < 5.5e6, f"FNO params {total} outside ~4M band"
 
 
@@ -61,7 +67,7 @@ def test_tfno_shapes_and_fewer_params():
     p_t, y = _run(tfno)
     assert y.shape == (B, 1, 32, 64, 3)
     fno = FNO(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
-    p_f, _ = _run(fno)
+    p_f = _param_shapes(fno)
     assert n_params(p_t) < n_params(p_f), "Tucker factorization should shrink params"
 
 
@@ -91,9 +97,7 @@ def test_afno_nonsquare_grid():
         n_fields=1,
     )
     model = AFNO(in_T=2, dset_metadata=md, hidden_dim=32, n_blocks=1, patch_size=8)
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 48, 1))
-    params = model.init(jax.random.PRNGKey(1), x)
-    y = model.apply(params, x)
+    _, y = _run(model, x_shape=(1, 2, 16, 48, 1))
     assert y.shape == (1, 1, 16, 48, 1)
 
 
@@ -143,9 +147,7 @@ def test_uno_shapes():
         n_fields=2,
     )
     model = UNO(in_T=3, dset_metadata=md, width=8, factor=1)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 128, 2))
-    params = model.init(jax.random.PRNGKey(1), x)
-    y = model.apply(params, x)
+    _, y = _run(model, x_shape=(2, 3, 64, 128, 2))
     assert y.shape == (2, 1, 64, 128, 2)
     assert np.isfinite(np.asarray(y)).all()
 
@@ -168,8 +170,7 @@ def test_unet_convnext_param_count_matches_table():
     model = UNetConvNext(
         in_T=4, dset_metadata=MD, stages=4, blocks_per_stage=4, init_features=15
     )
-    params, _ = _run(model)
-    total = n_params(params)
+    total = n_params(_param_shapes(model))
     assert 3.0e6 < total < 5.5e6, f"CNextUNet params {total} outside ~4M band"
 
 
@@ -178,9 +179,8 @@ def test_attention_unet_shapes_and_batch_stats():
 
     model = AttentionUNet(in_T=T, dset_metadata=MD, depth=4, out_T=2)
     x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
-    variables = model.init(jax.random.PRNGKey(1), x)
+    y, variables = model.init_with_output(jax.random.PRNGKey(1), x)
     assert "batch_stats" in variables
-    y = model.apply(variables, x)  # eval: running averages
     assert y.shape == (B, 2, 32, 64, 3)
     # train mode mutates batch_stats
     y2, updates = model.apply(
@@ -197,8 +197,7 @@ def test_attention_unet_param_count_matches_table():
     from tante_tpu.models import AttentionUNet
 
     model = AttentionUNet(in_T=4, dset_metadata=MD, depth=5, out_T=1)
-    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
-    variables = model.init(jax.random.PRNGKey(1), x)
+    variables = _param_shapes(model)
     total = n_params(variables["params"])
     assert 30e6 < total < 40e6, f"AttUNet params {total} outside ~35M band"
 
@@ -216,8 +215,7 @@ def test_avit_shapes_and_normalization():
         processor_blocks=2,
     )
     x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE) * 5.0 + 2.0
-    params = model.init(jax.random.PRNGKey(1), x)
-    y = model.apply(params, x)
+    y, params = model.init_with_output(jax.random.PRNGKey(1), x)
     # Reference emits last min(4, T) frames regardless of out_steps.
     assert y.shape == (B, 4, 32, 64, 3)
     assert model.output_length == 4
@@ -258,8 +256,7 @@ def test_cvit_point_and_grid_outputs():
     )
     x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
     coords = jax.random.uniform(jax.random.PRNGKey(2), (17, 2))
-    params = model.init(jax.random.PRNGKey(1), x, coords)
-    y_pts = model.apply(params, x, coords)
+    y_pts, params = model.init_with_output(jax.random.PRNGKey(1), x, coords)
     assert y_pts.shape == (B, 2, 17, 3)
     y_grid = model.apply(params, x)  # full grid
     assert y_grid.shape == (B, 2, 32, 64, 3)
@@ -284,8 +281,7 @@ def test_cvit_embedding_types():
         )
         x = jnp.ones((1, 2, 32, 64, 3))
         coords = jnp.zeros((5, 2))
-        params = model.init(jax.random.PRNGKey(0), x, coords)
-        y = model.apply(params, x, coords)
+        y, _ = model.init_with_output(jax.random.PRNGKey(0), x, coords)
         assert y.shape == (1, 1, 5, 3)
 
 
