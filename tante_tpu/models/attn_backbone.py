@@ -84,6 +84,12 @@ class AttnBackbone(nn.Module):
     # off-TPU.  Set False under tensor parallelism (the kernel cannot be
     # SPMD-partitioned; XLA math shards fine).
     fused: bool = True
+    # Whole-chain group fusion (one kernel per batch element, in-VMEM token
+    # re-orders between blocks).  Validated numerically on-device, but the
+    # axon remote compiler takes ~7 min for even a 3-block chain (Mosaic
+    # unrolls every per-head dot), so it stays OPT-IN until kernel compile
+    # cost is acceptable; the per-block fused kernel is the default path.
+    fused_group: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +107,35 @@ class AttnBackbone(nn.Module):
 
         channel_index = 0
         block_cls = FusedTransformerBlock if self.fused else TransformerBlock
+
+        # Group fusion: a pure T/H/W chain (the flagship THWTHWTHW) runs as
+        # ONE Pallas kernel per batch element — blocks back to back in VMEM
+        # with in-kernel token re-orders, no HBM round-trip or XLA transpose
+        # between blocks (ops/pallas_block.py:fused_group_apply; identical
+        # XLA math off-TPU and for gradients).  Dropout keeps the per-block
+        # path, which already falls back to XLA when active.
+        from tante_tpu.ops.pallas_block import fused_group_apply, group_fusable
+
+        if (
+            self.fused
+            and self.fused_group
+            and (deterministic or self.dropout == 0.0)
+            and group_fusable(axes, (t, h, w), c, self.n_head)
+        ):
+            blocks = [
+                FusedTransformerBlock(
+                    embed_dim=c,
+                    n_head=self.n_head,
+                    mlp_ratio=self.mlp_ratio,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"block_{i}",
+                )
+                for i in range(len(axes))
+            ]
+            params_seq = tuple(blk.block_params() for blk in blocks)
+            return fused_group_apply(x, params_seq, axes, self.n_head)
+
         for i, axis in enumerate(axes):
             embed_dim = self.expanded_channel if axis == "C" else c
             block = block_cls(

@@ -110,19 +110,13 @@ class FusedTransformerBlock(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        causal: bool = False,
-        deterministic: bool = True,
-    ) -> jnp.ndarray:
+    def setup(self):
         from tante_tpu.ops.initializers import torch_xavier_init
-        from tante_tpu.ops.pallas_block import BlockParams, fused_block_apply
+        from tante_tpu.ops.pallas_block import BlockParams
 
         c = self.embed_dim
         hidden = int(c * self.mlp_ratio)
-        params = BlockParams(
+        self._params = BlockParams(
             ln1_scale=self.param("ln1_scale", nn.initializers.ones, (c,)),
             ln1_bias=self.param("ln1_bias", nn.initializers.zeros, (c,)),
             wq=self.param("wq", torch_xavier_init, (c, c)),
@@ -140,7 +134,28 @@ class FusedTransformerBlock(nn.Module):
             w2=self.param("w2", torch_kernel_init, (hidden, c)),
             b2=self.param("b2", torch_bias_init(hidden), (c,)),
         )
-        params = BlockParams(*(p.astype(self.dtype) for p in params))
+        self._drop_attn = nn.Dropout(rate=self.dropout)
+        self._drop_proj = nn.Dropout(rate=self.dropout)
+        self._drop_mlp = nn.Dropout(rate=self.dropout)
+
+    def block_params(self):
+        """The flat weight tuple, cast to compute dtype — used by the
+        backbone's group-fused path (ops/pallas_block.py:fused_group_apply)
+        without running the block."""
+        from tante_tpu.ops.pallas_block import BlockParams
+
+        return BlockParams(*(p.astype(self.dtype) for p in self._params))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        from tante_tpu.ops.pallas_block import fused_block_apply
+
+        c = self.embed_dim
+        params = self.block_params()
         l = x.shape[-2]
 
         if deterministic or self.dropout == 0.0:
@@ -165,15 +180,15 @@ class FusedTransformerBlock(nn.Module):
             m = jnp.tril(jnp.ones((l, l), dtype=bool))
             logits = jnp.where(m, logits, -1e30)
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        w = nn.Dropout(rate=self.dropout)(w, deterministic=False)
+        w = self._drop_attn(w, deterministic=False)
         attn = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(*x.shape)
         y = (attn @ params.wo) + params.bo
-        y = nn.Dropout(rate=self.dropout)(y, deterministic=False)
+        y = self._drop_proj(y, deterministic=False)
         x = x + y
         yn = _ln(x, params.ln2_scale, params.ln2_bias)
         h1 = ((yn @ params.w1) + params.b1).astype(jnp.float32)
         z = (_gelu_tanh_f32(h1).astype(x.dtype) @ params.w2) + params.b2
-        z = nn.Dropout(rate=self.dropout)(z, deterministic=False)
+        z = self._drop_mlp(z, deterministic=False)
         return x + z
 
 

@@ -241,3 +241,198 @@ def _bwd(l, heads, causal, res, g):
 
 
 fused_block_apply.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Group fusion: a whole T/H/W axial block chain in ONE kernel per batch item.
+#
+# The per-block kernel still pays an HBM round-trip (plus an XLA transpose)
+# between consecutive blocks whose attention axes differ.  For chains over
+# the T/H/W axes the activation of a single batch element (T*H*W, C) fits
+# comfortably in VMEM, so one kernel instance can run every block back to
+# back, re-ordering tokens with in-VMEM transposes (probed supported by
+# Mosaic for sublane-dim permutations).  Grid = batch; weights stay resident
+# across grid steps.
+# ---------------------------------------------------------------------------
+
+# Token orders that make each attention axis contiguous; canonical (t, h, w).
+_ORDER = {"T": ("h", "w", "t"), "H": ("t", "w", "h"), "W": ("t", "h", "w")}
+
+
+def _perm_between(cur, dst):
+    return tuple(cur.index(a) for a in dst) + (3,)
+
+
+def fitted_seq_pack(m: int, l: int, target: int = 32) -> int:
+    """Largest seq_pack packing sequences of length ``l`` into ~``target``
+    rows such that the packed rows divide ``m`` evenly."""
+    sp = max(1, target // l) if l < target else 1
+    while sp > 1 and m % (sp * l):
+        sp -= 1
+    return sp
+
+
+def _group_kernel(axes, heads, dims, x_ref, *refs):
+    o_ref = refs[-1]
+    prefs = refs[:-1]  # 16 stacked arrays, each (n_blocks, ...)
+    x = x_ref[:]  # (T*H*W, C) canonical, one batch element
+    c = x.shape[-1]
+    sizes = dict(zip("thw", dims))
+    seq = {"T": dims[0], "H": dims[1], "W": dims[2]}
+    cur = ("t", "h", "w")
+    for i, axis in enumerate(axes):
+        dst = _ORDER[axis]
+        if dst != cur:
+            shape4 = tuple(sizes[a] for a in cur) + (c,)
+            x = x.reshape(shape4).transpose(_perm_between(cur, dst)).reshape(-1, c)
+            cur = dst
+        p = BlockParams(*(r[i] for r in prefs))
+        l = seq[axis]
+        m = x.shape[0]
+        # Pack to ~128-row score tiles: fewer (and full-MXU) batched dots
+        # than the per-block kernel's 32-row packing — at m ~ 3072 rows the
+        # 32-row pack meant ~96 unrolled per-head dots, which both blew up
+        # Mosaic compile time and underfilled the MXU.
+        x = _kernel_body(x, p, l, heads, fitted_seq_pack(m, l, 128), axis == "T")
+    if cur != ("t", "h", "w"):
+        shape4 = tuple(sizes[a] for a in cur) + (c,)
+        x = x.reshape(shape4).transpose(
+            _perm_between(cur, ("t", "h", "w"))
+        ).reshape(-1, c)
+    o_ref[:] = x
+
+
+def _kernel_body(x, p, l, heads, seq_pack, causal):
+    """One block's math on an (M, C) VMEM tensor. Same formulation as
+    ``_kernel``; returns the block output."""
+    m_rows = x.shape[0]
+    c = x.shape[-1]
+    d = c // heads
+    sp = seq_pack * l
+    b_att = m_rows // sp
+
+    xn = _ln(x, p.ln1_scale, p.ln1_bias)
+    dn2 = (((1,), (0,)), ((), ()))
+
+    def proj(w, b):
+        y = jax.lax.dot_general(xn, w, dn2, preferred_element_type=jnp.float32)
+        return (y + b).astype(x.dtype)
+
+    q = proj(p.wq, p.bq) * (d**-0.5)
+    k = proj(p.wk, p.bk)
+    v = proj(p.wv, p.bv)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    mask = (row // l) == (col // l)
+    if causal:
+        mask = mask & ((row % l) >= (col % l))
+
+    dn_qk = (((2,), (2,)), ((0,), (0,)))
+    dn_av = (((2,), (1,)), ((0,), (0,)))
+    heads_out = []
+    for h in range(heads):
+        qh = q[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        kh = k[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        vh = v[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        scores = jax.lax.dot_general(qh, kh, dn_qk, preferred_element_type=jnp.float32)
+        scores = jnp.where(mask[None], scores, -1e30)
+        smax = jnp.max(scores, axis=-1, keepdims=True)
+        unnorm = jnp.exp(scores - smax)
+        w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
+        ah = jax.lax.dot_general(w, vh, dn_av, preferred_element_type=jnp.float32)
+        heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
+    attn = jnp.concatenate(heads_out, axis=1)
+
+    out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
+    x = x + (out + p.bo).astype(x.dtype)
+
+    yn = _ln(x, p.ln2_scale, p.ln2_bias)
+    h1 = jax.lax.dot_general(yn, p.w1, dn2, preferred_element_type=jnp.float32)
+    h1 = _gelu_tanh_f32(h1 + p.b1).astype(x.dtype)
+    h2 = jax.lax.dot_general(h1, p.w2, dn2, preferred_element_type=jnp.float32)
+    return x + (h2 + p.b2).astype(x.dtype)
+
+
+def _xla_group(x5, params_seq, axes, heads):
+    """Reference chain in plain XLA: rearrange per axis + `_xla_block`."""
+    b, t, hp, wp, c = x5.shape
+    x = x5
+    for axis, p in zip(axes, params_seq):
+        if axis == "T":
+            y = x.transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, t, c)
+            y = _xla_block(y, p, t, heads, True)
+            x = y.reshape(b, hp, wp, t, c).transpose(0, 3, 1, 2, 4)
+        elif axis == "H":
+            y = x.transpose(0, 1, 3, 2, 4).reshape(b * t * wp, hp, c)
+            y = _xla_block(y, p, hp, heads, False)
+            x = y.reshape(b, t, wp, hp, c).transpose(0, 1, 3, 2, 4)
+        else:
+            y = x.reshape(b * t * hp, wp, c)
+            y = _xla_block(y, p, wp, heads, False)
+            x = y.reshape(b, t, hp, wp, c)
+    return x
+
+
+def group_fusable(axes: str, dims, c: int, heads: int) -> bool:
+    """Whether the T/H/W chain can run in the group kernel: known axes,
+    per-axis row counts divisible by the packed sequence length, and a
+    per-batch-element activation that fits a VMEM budget."""
+    t, h, w = dims
+    m = t * h * w
+    if any(a not in _ORDER for a in axes):
+        return False
+    if c % heads:
+        return False
+    for a in set(axes):
+        l = {"T": t, "H": h, "W": w}[a]
+        if m % l:
+            return False
+    # x + q/k/v + mlp hidden in VMEM, bf16: keep well under ~64 MiB.
+    return m * c * 2 * 8 <= 48 * 2**20
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_group_apply(x5, params_seq, axes: str, heads: int):
+    """(B, T, H, W, C) -> same, running the whole ``axes`` chain (one
+    FusedTransformerBlock per char, T causal) in a single Pallas kernel per
+    batch element on TPU; identical XLA math elsewhere and for gradients."""
+    b, t, hp, wp, c = x5.shape
+    if not _on_tpu():
+        return _xla_group(x5, tuple(params_seq), axes, heads)
+    m = t * hp * wp
+    x2 = x5.reshape(b * m, c)
+    stacked = [jnp.stack(arrs) for arrs in zip(*params_seq)]
+    xspec = pl.BlockSpec((m, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_group_kernel, axes, heads, (t, hp, wp)),
+        grid=(b,),
+        in_specs=[xspec] + [wspec(a.shape) for a in stacked],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b * m, c), x5.dtype),
+        # The whole-chain working set (~30 MB at the flagship geometry)
+        # exceeds Mosaic's 16 MB default scoped-VMEM limit; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(x2, *stacked)
+    return out.reshape(b, t, hp, wp, c)
+
+
+def _group_fwd(x5, params_seq, axes, heads):
+    return fused_group_apply(x5, params_seq, axes, heads), (x5, params_seq)
+
+
+def _group_bwd(axes, heads, res, g):
+    x5, params_seq = res
+    _, vjp = jax.vjp(
+        lambda a, ps: _xla_group(a, ps, axes, heads), x5, tuple(params_seq)
+    )
+    return vjp(g)
+
+
+fused_group_apply.defvjp(_group_fwd, _group_bwd)

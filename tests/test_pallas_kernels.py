@@ -218,3 +218,72 @@ def test_fused_block_gradients_flow():
     np.testing.assert_allclose(
         np.asarray(gv["params"]["wq"]), np.asarray(gp_ref.wq), rtol=1e-6, atol=1e-6
     )
+
+
+def test_fused_group_matches_per_block_chain():
+    """fused_group_apply (XLA fallback on CPU) must equal the per-block
+    rearrange + fused_block_apply chain bit-for-bit, and its VJP must match
+    the chain's gradients."""
+    import numpy as np
+    from einops import rearrange
+
+    from tante_tpu.ops.pallas_block import (
+        BlockParams,
+        fused_block_apply,
+        fused_group_apply,
+        group_fusable,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, h, w, c, heads = 2, 4, 8, 6, 32, 4
+    axes = "THW"
+    assert group_fusable(axes, (t, h, w), c, heads)
+
+    def mk(i):
+        r = np.random.default_rng(i)
+        g = lambda *s: jnp.asarray(r.normal(size=s).astype(np.float32) * 0.1)
+        return BlockParams(
+            ln1_scale=jnp.ones((c,)), ln1_bias=jnp.zeros((c,)),
+            wq=g(c, c), bq=g(c), wk=g(c, c), bk=g(c), wv=g(c, c), bv=g(c),
+            wo=g(c, c), bo=g(c), ln2_scale=jnp.ones((c,)), ln2_bias=jnp.zeros((c,)),
+            w1=g(c, c), b1=g(c), w2=g(c, c), b2=g(c),
+        )
+
+    params = tuple(mk(i) for i in range(len(axes)))
+    x = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+
+    def chain(x5):
+        z = x5
+        for axis, p in zip(axes, params):
+            if axis == "T":
+                y = rearrange(z, "b t h w c -> (b h w) t c")
+                y = fused_block_apply(y, p, t, heads, True)
+                z = rearrange(y, "(b h w) t c -> b t h w c", b=b, h=h, w=w)
+            elif axis == "H":
+                y = rearrange(z, "b t h w c -> (b t w) h c")
+                y = fused_block_apply(y, p, h, heads, False)
+                z = rearrange(y, "(b t w) h c -> b t h w c", b=b, t=t, w=w)
+            else:
+                y = rearrange(z, "b t h w c -> (b t h) w c")
+                y = fused_block_apply(y, p, w, heads, False)
+                z = rearrange(y, "(b t h) w c -> b t h w c", b=b, t=t, h=h)
+        return z
+
+    want = chain(x)
+    got = fused_group_apply(x, params, axes, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g_want = jax.grad(lambda a: jnp.sum(chain(a) ** 2))(x)
+    g_got = jax.grad(lambda a: jnp.sum(fused_group_apply(a, params, axes, heads) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+def test_fused_group_guard_rejects_bad_geometry():
+    from tante_tpu.ops.pallas_block import group_fusable
+
+    assert not group_fusable("THWL", (4, 8, 6), 32, 4)  # L not groupable
+    assert not group_fusable("TH", (4, 8, 6), 30, 4)  # C % heads != 0
+    # VMEM bound: a 1M-token grid per batch element must not group-fuse.
+    assert not group_fusable("TH", (16, 256, 256), 256, 8)
+    # Odd-but-divisible geometries stay fusable via fitted_seq_pack.
+    assert group_fusable("T", (4, 5, 7), 32, 4)
