@@ -33,13 +33,17 @@ def make_well_dataset(
     with_t2: bool = False,
     seed: int = 0,
 ) -> str:
-    """Write a synthetic Well dataset; returns its root directory."""
+    """Write a synthetic Well dataset; returns its root directory.
+
+    ``resolution`` may be 2-D ``(H, W)`` or 3-D ``(D, H, W)`` — the Well
+    format (and the dataset reader) is generic over ``n_spatial_dims``.
+    """
     rng = np.random.default_rng(seed)
-    H, W = resolution
+    d = len(resolution)
+    assert d in (2, 3), resolution
     root = os.path.join(base_path, dataset_name)
     os.makedirs(root, exist_ok=True)
 
-    d = 2  # spatial dims
     field_specs = {"t0": ["density"], "t1": ["velocity"], "t2": ["stress"] if with_t2 else []}
 
     # stats.yaml: per-field mean/std; vector/tensor fields get per-component
@@ -55,9 +59,9 @@ def make_well_dataset(
     with open(os.path.join(root, "stats.yaml"), "w") as f:
         yaml.safe_dump(stats, f)
 
-    yy, xx = np.meshgrid(
-        np.linspace(0, 2 * np.pi, H, endpoint=False),
-        np.linspace(0, 2 * np.pi, W, endpoint=False),
+    dim_names = ("x", "y", "z")[:d]
+    grids = np.meshgrid(
+        *[np.linspace(0, 2 * np.pi, s, endpoint=False) for s in resolution],
         indexing="ij",
     )
 
@@ -72,38 +76,45 @@ def make_well_dataset(
                 f.attrs["dataset_name"] = dataset_name
 
                 dims = f.create_group("dimensions")
-                dims.attrs["spatial_dims"] = ["x", "y"]
+                dims.attrs["spatial_dims"] = list(dim_names)
                 dims.create_dataset("time", data=np.arange(n_steps, dtype=np.float32))
-                dims.create_dataset("x", data=np.linspace(0, 1, H, dtype=np.float32))
-                dims.create_dataset("y", data=np.linspace(0, 1, W, dtype=np.float32))
+                for name, size in zip(dim_names, resolution):
+                    dims.create_dataset(
+                        name, data=np.linspace(0, 1, size, dtype=np.float32)
+                    )
 
                 bcs = f.create_group("boundary_conditions")
-                for name in ("x", "y"):
+                for name in dim_names:
                     g = bcs.create_group(name)
                     g.attrs["bc_type"] = "PERIODIC"
 
-                t = np.arange(n_steps, dtype=np.float32)[None, :, None, None]
-                phase = rng.uniform(0, 2 * np.pi, size=(n_trajectories, 1, 1, 1)).astype(
-                    np.float32
-                )
-                speed = rng.uniform(0.1, 0.3, size=(n_trajectories, 1, 1, 1)).astype(
-                    np.float32
-                )
+                bshape = (1, 1) + (1,) * d
+                t = np.arange(n_steps, dtype=np.float32).reshape(1, n_steps, *([1] * d))
+                phase = rng.uniform(0, 2 * np.pi, size=(n_trajectories,)).reshape(
+                    (n_trajectories,) + bshape[1:]
+                ).astype(np.float32)
+                speed = rng.uniform(0.1, 0.3, size=(n_trajectories,)).reshape(
+                    (n_trajectories,) + bshape[1:]
+                ).astype(np.float32)
 
-                def wave(kx, ky, amp=1.0):
+                def wave(*ks, amp=1.0):
+                    space = sum(k * g for k, g in zip(ks, grids))
                     return amp * np.sin(
-                        kx * xx[None, None] + ky * yy[None, None] + phase + speed * t
+                        space[(None, None)] + phase + speed * t
                     ).astype(np.float32)
 
+                k1 = (1, 2, 1)[:d]
+                k2 = (3, 1, 2)[:d]
                 t0 = f.create_group("t0_fields")
                 t0.attrs["field_names"] = field_specs["t0"]
-                ds = t0.create_dataset("density", data=wave(1, 2) + 0.5 * wave(3, 1))
+                ds = t0.create_dataset("density", data=wave(*k1) + 0.5 * wave(*k2))
                 ds.attrs["sample_varying"] = True
                 ds.attrs["time_varying"] = True
 
                 t1 = f.create_group("t1_fields")
                 t1.attrs["field_names"] = field_specs["t1"]
-                vel = np.stack([wave(2, 1), wave(1, 3, 0.7)], axis=-1)
+                comps = [wave(*np.roll(k1, i), amp=1.0 - 0.3 * i) for i in range(d)]
+                vel = np.stack(comps, axis=-1)
                 ds = t1.create_dataset("velocity", data=vel)
                 ds.attrs["sample_varying"] = True
                 ds.attrs["time_varying"] = True
@@ -111,9 +122,11 @@ def make_well_dataset(
                 t2 = f.create_group("t2_fields")
                 t2.attrs["field_names"] = field_specs["t2"]
                 if with_t2:
-                    comps = [wave(1, 1), wave(2, 2, 0.5), wave(2, 2, 0.5), wave(3, 3, 0.3)]
+                    comps = [
+                        wave(*np.roll(k1, i), amp=1.0 - 0.1 * i) for i in range(d * d)
+                    ]
                     stress = np.stack(comps, axis=-1).reshape(
-                        n_trajectories, n_steps, H, W, d, d
+                        n_trajectories, n_steps, *resolution, d, d
                     )
                     ds = t2.create_dataset("stress", data=stress)
                     ds.attrs["sample_varying"] = True

@@ -1,8 +1,11 @@
 """Metric suite (pure jnp), reference parity with ``trainer/metrics.py``.
 
-All spatial metrics take channels-last ``(B, T, H, W, C)`` tensors and reduce
-over the spatial dims ``(H, W)`` (dims (-3, -2)), keeping ``[B, T, C]`` —
-exactly the reference's reductions (``trainer/metrics.py:53-164``).
+All spatial metrics take channels-last ``(B, T, *spatial, C)`` tensors and
+reduce over the spatial dims, keeping ``[B, T, C]`` — for the 2-D
+``(B, T, H, W, C)`` case these are exactly the reference's reductions
+(``trainer/metrics.py:53-164``, which hardcode dims (-3, -2)); 3-D fields
+``(B, T, D, H, W, C)`` reduce over (D, H, W) (the natural generalization
+the reference never needed — its benchmarks are all 2-D).
 
 Call contract (reference ``Metric.forward``, ``trainer/metrics.py:20-43``):
 ``metric(x, y, rt)`` returns the spatial loss tensor when ``rt is None``;
@@ -22,7 +25,10 @@ from __future__ import annotations
 import math
 import jax.numpy as jnp
 
-_SPATIAL = (-3, -2)  # (H, W) of (B, T, H, W, C)
+def _spatial_axes(x):
+    """All dims between T and C: (-3, -2) for (B, T, H, W, C), (-4, -3, -2)
+    for 3-D fields."""
+    return tuple(range(2, x.ndim - 1))
 
 
 class Metric:
@@ -46,7 +52,7 @@ class Metric:
 class MSE(Metric):
     @staticmethod
     def eval(x, y):
-        return jnp.mean((x - y) ** 2, axis=_SPATIAL)  # [B, T, C]
+        return jnp.mean((x - y) ** 2, axis=_spatial_axes(x))  # [B, T, C]
 
     @staticmethod
     def eval_rt(rt, eps=0.5, n=2.0):
@@ -66,10 +72,10 @@ class NMSE(Metric):
     @staticmethod
     def eval(x, y, eps: float = 1e-7, norm_mode: str = "norm"):
         if norm_mode == "norm":
-            norm = jnp.mean(y**2, axis=_SPATIAL)
+            norm = jnp.mean(y**2, axis=_spatial_axes(y))
         elif norm_mode == "std":
             # torch.std uses the unbiased (ddof=1) estimator.
-            norm = jnp.var(y, axis=_SPATIAL, ddof=1)
+            norm = jnp.var(y, axis=_spatial_axes(y), ddof=1)
         else:
             raise ValueError(f"Invalid norm_mode: {norm_mode}")
         return MSE.eval(x, y) / (norm + eps)
@@ -91,7 +97,7 @@ class L2RE(Metric):
 class NNMSE(Metric):
     @staticmethod
     def eval(x, y, eps: float = 1e-7, norm_mode: str = "norm"):
-        n_dims = (-3, -2, -1)  # (H, W, C)
+        n_dims = tuple(range(2, y.ndim))  # (*spatial, C)
         if norm_mode == "norm":
             norm = jnp.mean(y**2, axis=n_dims)
         elif norm_mode == "std":
