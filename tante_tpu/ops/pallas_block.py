@@ -272,33 +272,77 @@ def fitted_seq_pack(m: int, l: int, target: int = 32) -> int:
     return sp
 
 
-def _group_kernel(axes, heads, dims, x_ref, *refs):
-    o_ref = refs[-1]
-    prefs = refs[:-1]  # 16 stacked arrays, each (n_blocks, ...)
-    x = x_ref[:]  # (T*H*W, C) canonical, one batch element
-    c = x.shape[-1]
-    sizes = dict(zip("thw", dims))
-    seq = {"T": dims[0], "H": dims[1], "W": dims[2]}
+def _layout_plan(axes: str, dims):
+    """Static plan for the group kernel: per block, which row permutation
+    (as a new->old index vector) re-orders tokens so the attention axis is
+    contiguous, plus the final back-to-canonical permutation.
+
+    Returns (perm_ids, final_id, perms) where perm_ids[i] indexes ``perms``
+    (or is None), and perms are distinct permutation index vectors.
+    """
+    import numpy as np
+
+    t, h, w = dims
+    sizes = {"t": t, "h": h, "w": w}
+    m = t * h * w
+
+    def perm_indices(cur, dst):
+        # new-row -> old-row: old rows laid out in ``cur`` order, viewed as
+        # the (cur..) tensor and transposed into ``dst`` order.
+        shape = tuple(sizes[a] for a in cur)
+        return (
+            np.arange(m)
+            .reshape(shape)
+            .transpose(tuple(cur.index(a) for a in dst))
+            .reshape(m)
+        )
+
+    perms, keys = [], {}
+
+    def intern(cur, dst):
+        key = (cur, dst)
+        if key not in keys:
+            keys[key] = len(perms)
+            perms.append(perm_indices(cur, dst))
+        return keys[key]
+
+    perm_ids = []
     cur = ("t", "h", "w")
-    for i, axis in enumerate(axes):
+    for axis in axes:
         dst = _ORDER[axis]
-        if dst != cur:
-            shape4 = tuple(sizes[a] for a in cur) + (c,)
-            x = x.reshape(shape4).transpose(_perm_between(cur, dst)).reshape(-1, c)
-            cur = dst
-        p = BlockParams(*(r[i] for r in prefs))
+        perm_ids.append(None if dst == cur else intern(cur, dst))
+        cur = dst
+    final_id = None if cur == ("t", "h", "w") else intern(cur, ("t", "h", "w"))
+    return perm_ids, final_id, perms
+
+
+def _group_kernel(axes, heads, dims, perm_ids, final_id, n_perms, x_ref, *refs):
+    prefs = refs[:n_perms]  # permutation matrices (M, M)
+    brefs = refs[n_perms:-1]  # 16 stacked arrays, each (n_blocks, ...)
+    o_ref = refs[-1]
+    x = x_ref[:]  # (T*H*W, C) canonical, one batch element
+    seq = {"T": dims[0], "H": dims[1], "W": dims[2]}
+    dn = (((1,), (0,)), ((), ()))
+
+    def permute(x, pid):
+        # Token re-order as a permutation MATMUL: rides the MXU and keeps
+        # Mosaic compile time sane (~30 s vs ~200 s per in-kernel 4-D
+        # transpose, measured on the axon remote compiler); exact for 0/1
+        # weights (each output row copies one input row).
+        y = jax.lax.dot_general(
+            prefs[pid][:], x, dn, preferred_element_type=jnp.float32
+        )
+        return y.astype(x.dtype)
+
+    for i, axis in enumerate(axes):
+        if perm_ids[i] is not None:
+            x = permute(x, perm_ids[i])
+        p = BlockParams(*(r[i] for r in brefs))
         l = seq[axis]
         m = x.shape[0]
-        # Pack to ~128-row score tiles: fewer (and full-MXU) batched dots
-        # than the per-block kernel's 32-row packing — at m ~ 3072 rows the
-        # 32-row pack meant ~96 unrolled per-head dots, which both blew up
-        # Mosaic compile time and underfilled the MXU.
-        x = _kernel_body(x, p, l, heads, fitted_seq_pack(m, l, 128), axis == "T")
-    if cur != ("t", "h", "w"):
-        shape4 = tuple(sizes[a] for a in cur) + (c,)
-        x = x.reshape(shape4).transpose(
-            _perm_between(cur, ("t", "h", "w"))
-        ).reshape(-1, c)
+        x = _kernel_body(x, p, l, heads, fitted_seq_pack(m, l), axis == "T")
+    if final_id is not None:
+        x = permute(x, final_id)
     o_ref[:] = x
 
 
@@ -388,8 +432,9 @@ def group_fusable(axes: str, dims, c: int, heads: int) -> bool:
         l = {"T": t, "H": h, "W": w}[a]
         if m % l:
             return False
-    # x + q/k/v + mlp hidden in VMEM, bf16: keep well under ~64 MiB.
-    return m * c * 2 * 8 <= 48 * 2**20
+    # VMEM: activations/intermediates (~8 x-sized buffers) + up to 3
+    # (m, m) permutation matrices; keep under ~80 MiB of the 128 on v5e.
+    return m * c * 2 * 8 + 3 * m * m * 2 <= 80 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -400,8 +445,16 @@ def fused_group_apply(x5, params_seq, axes: str, heads: int):
     b, t, hp, wp, c = x5.shape
     if not _on_tpu():
         return _xla_group(x5, tuple(params_seq), axes, heads)
+    import numpy as np
+
     m = t * hp * wp
     x2 = x5.reshape(b * m, c)
+    perm_ids, final_id, perms = _layout_plan(axes, (t, hp, wp))
+    p_mats = []
+    for idx in perms:
+        pm = np.zeros((m, m), dtype=np.float32)
+        pm[np.arange(m), idx] = 1.0
+        p_mats.append(jnp.asarray(pm, x5.dtype))
     stacked = [jnp.stack(arrs) for arrs in zip(*params_seq)]
     xspec = pl.BlockSpec((m, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -411,15 +464,20 @@ def fused_group_apply(x5, params_seq, axes: str, heads: int):
         )
 
     out = pl.pallas_call(
-        functools.partial(_group_kernel, axes, heads, (t, hp, wp)),
+        functools.partial(
+            _group_kernel, axes, heads, (t, hp, wp), perm_ids, final_id, len(p_mats)
+        ),
         grid=(b,),
-        in_specs=[xspec] + [wspec(a.shape) for a in stacked],
+        in_specs=[xspec]
+        + [wspec(a.shape) for a in p_mats]
+        + [wspec(a.shape) for a in stacked],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b * m, c), x5.dtype),
-        # The whole-chain working set (~30 MB at the flagship geometry)
-        # exceeds Mosaic's 16 MB default scoped-VMEM limit; v5e has 128 MB.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
-    )(x2, *stacked)
+        # The whole-chain working set (weights + permutation matrices +
+        # activations, ~75 MB at the flagship geometry) exceeds Mosaic's
+        # 16 MB default scoped-VMEM limit; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+    )(x2, *p_mats, *stacked)
     return out.reshape(b, t, hp, wp, c)
 
 
