@@ -187,8 +187,9 @@ def main():
 
     f1 = jnp.asarray(rng.normal(size=(BATCH, 1, *RESOLUTION, N_FIELDS)), jnp.float32)
     if not want or "encoder" in want:
-        dt = timed(scan_wrap(lambda c: enc1(c)[..., :N_FIELDS] * 1.0 + c * 0.0, 16), f1)
-        # carry-through needs matching shapes; crude: re-use input
+        # Carry-through: fold the latent into the carry via a scalar mean
+        # (cannot be folded away: 0*inf would change NaN semantics).
+        dt = timed(scan_wrap(lambda c: c + jnp.mean(enc1(c)).astype(c.dtype), 16), f1)
         print(f"encoder(1fr)   {(dt-rtt)/16*1e3:8.3f} ms/iter")
 
     # head() without the backbone is hard to isolate without model surgery;
