@@ -350,3 +350,36 @@ def test_fno_3d_trainer_end_to_end(tmp_path):
     assert np.isfinite(loss)
     val = trainer.validation_loop(dm.val_dataloader())
     assert np.isfinite(val)
+
+
+@pytest.mark.slow
+def test_reproduce_baseline_script_synthetic(tmp_path, monkeypatch):
+    """scripts/reproduce_baseline.py dry-runs the full BASELINE.md protocol
+    (synthetic data -> train -> best-checkpoint eval -> JSON report)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import reproduce_baseline
+
+    monkeypatch.chdir(tmp_path)
+    out = reproduce_baseline.main(
+        [
+            "tr",
+            "--model",
+            "fno",
+            "--synthetic",
+            "--epochs",
+            "1",
+            "data.batch_size=2",
+            "data.data_workers=0",
+            "model.modes1=4",
+            "model.modes2=4",
+            "model.hidden_channels=8",
+            "data.n_steps_output=2",
+            "trainer.n_steps_output=2",
+        ]
+    )
+    assert out["benchmark"] == "turbulent_radiative_layer_2D"
+    assert out["comparable"] is False
+    assert np.isfinite(out["measured_l2re"])
+    assert out["published_l2re"] == 0.1751
