@@ -36,8 +36,18 @@ def _baseline_fps() -> float:
     try:
         with open(path) as f:
             return float(json.load(f)["published"]["a100_tante_rollout"]["value"])
-    except (OSError, KeyError, ValueError):
-        return 2493.8  # last measured value; re-derive with scripts/measure_baseline.py
+    except (OSError, KeyError, ValueError) as e:
+        import sys
+
+        # Loud fallback: a silently stale constant would defeat the point of
+        # the derived denominator (BASELINE.md).
+        print(
+            f"WARNING: could not read a100_tante_rollout from {path} ({e}); "
+            "falling back to the last derived value 2493.8 — re-derive with "
+            "scripts/measure_baseline.py",
+            file=sys.stderr,
+        )
+        return 2493.8
 
 
 A100_EST_FRAMES_PER_SEC = _baseline_fps()

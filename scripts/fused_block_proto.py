@@ -8,7 +8,7 @@ v5 design (after Mosaic shape-op probing, see docs/PERF.md):
   nor concat of offset-carrying slices.  So: per head, lane-slice q/k/v
   (M, D), sublane-reshape to (B', S', D), run the score/AV core batched,
   reshape back, lane-concat the 8 offset-0 head outputs.
-- seq_pack packs several短 sequences into one score matrix (block-diagonal
+- seq_pack packs several short sequences into one score matrix (block-diagonal
   mask) so S' stays 32-48 even for L=4.
 
 A/B against the XLA TransformerBlock math at the three TANTE layouts and

@@ -22,6 +22,8 @@ Window math (reference ``data/dataset.py:39-41,229-243``):
 
 from __future__ import annotations
 
+import contextlib
+
 import itertools
 import os
 from dataclasses import dataclass
@@ -36,6 +38,16 @@ import yaml
 # block-cached reads of 8 MiB blocks.
 H5_PARAMS = {"rdcc_nbytes": 8 * 1024 * 1024}
 FSSPEC_PARAMS = {"cache_type": "blockcache", "block_size": 8 * 1024 * 1024}
+
+
+@contextlib.contextmanager
+def _closing_h5(f):
+    """Close an ``_open_h5`` handle AND its underlying fsspec file (h5py
+    does not close user-provided file-like objects)."""
+    try:
+        yield f
+    finally:
+        TanteDataset._close_h5(f)
 
 
 def compute_windows(total_steps: int, n_steps_input: int, n_steps_output: int, dt_stride: int) -> int:
@@ -133,7 +145,20 @@ class TanteDataset:
     def _open_h5(self, path: str) -> h5.File:
         if self._is_local:
             return h5.File(path, "r", **H5_PARAMS)
-        return h5.File(self._fs.open(path, "rb", **FSSPEC_PARAMS), "r", **H5_PARAMS)
+        # h5py does NOT close user-provided file-like objects; keep the
+        # fsspec handle (and its 8 MiB blockcache) attached to the h5.File
+        # so close() below can release both.
+        raw = self._fs.open(path, "rb", **FSSPEC_PARAMS)
+        f = h5.File(raw, "r", **H5_PARAMS)
+        f._tante_raw = raw
+        return f
+
+    @staticmethod
+    def _close_h5(f: h5.File) -> None:
+        raw = getattr(f, "_tante_raw", None)
+        f.close()
+        if raw is not None:
+            raw.close()
 
     # ------------------------------------------------------------------
     def _build_metadata(self) -> TanteMetadata:
@@ -145,7 +170,7 @@ class TanteDataset:
         self.field_names: Dict[int, List[str]] = {i: [] for i in range(3)}
 
         for index, path in enumerate(self.files_paths):
-            with self._open_h5(path) as f:
+            with _closing_h5(self._open_h5(path)) as f:
                 trajectories = int(f.attrs["n_trajectories"])
                 steps = f["dimensions"]["time"].shape[-1]
                 windows = compute_windows(
@@ -266,8 +291,14 @@ class TanteDataset:
     def close(self) -> None:
         for i, h in enumerate(self._handles):
             if h is not None:
-                h.close()
+                self._close_h5(h)
                 self._handles[i] = None
+
+    def __del__(self):  # pragma: no cover - best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __repr__(self) -> str:
         return f"<{self.__class__.__name__}: {self.data_path}>"

@@ -24,12 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from einops import rearrange
 
-from tante_tpu.models.common import (
-    FusedTransformerBlock,
-    Mlp,
-    TorchDense,
-    TransformerBlock,
-)
+from tante_tpu.models.common import FusedTransformerBlock, Mlp, TorchDense
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 
 # 'einsum' contracts the mixing axis in place (no transpose materialized);
@@ -83,6 +78,10 @@ class AttnBackbone(nn.Module):
     # on a single TPU chip; automatically falls back to identical XLA math
     # off-TPU.  Set False under tensor parallelism (the kernel cannot be
     # SPMD-partitioned; XLA math shards fine).
+    # fused=False selects the identical XLA block math; the parameter tree
+    # is the flat FusedTransformerBlock layout EITHER WAY, so checkpoints
+    # are interchangeable between fused, non-fused and tensor-parallel
+    # runs (the Trainer flips this flag under tp).
     fused: bool = True
     # Whole-chain group fusion (one kernel per batch element, in-VMEM token
     # re-orders between blocks).  Validated numerically on-device, but the
@@ -106,7 +105,9 @@ class AttnBackbone(nn.Module):
         x = AxisPropagator(t, axis=1, dtype=self.dtype, name="temporal_propagator")(x)
 
         channel_index = 0
-        block_cls = FusedTransformerBlock if self.fused else TransformerBlock
+
+        def block_cls(**kw):
+            return FusedTransformerBlock(use_kernel=self.fused, **kw)
 
         # Group fusion: a pure T/H/W chain (the flagship THWTHWTHW) runs as
         # ONE Pallas kernel per batch element — blocks back to back in VMEM

@@ -108,6 +108,11 @@ class FusedTransformerBlock(nn.Module):
     n_head: int
     mlp_ratio: float = 4.0
     dropout: float = 0.1
+    # False selects the identical XLA formulation while KEEPING the flat
+    # param tree — the backbone uses this under tensor parallelism (the
+    # kernel cannot be SPMD-partitioned) so tp and single-chip checkpoints
+    # stay interchangeable.
+    use_kernel: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -158,11 +163,12 @@ class FusedTransformerBlock(nn.Module):
         params = self.block_params()
         l = x.shape[-2]
 
-        if deterministic or self.dropout == 0.0:
+        if self.use_kernel and (deterministic or self.dropout == 0.0):
             return fused_block_apply(x, params, l, self.n_head, causal)
 
-        # Training-with-dropout path: same math in XLA with the reference's
-        # three dropout sites (attention weights, post-attention, post-MLP).
+        # XLA path: identical math, with the reference's three dropout
+        # sites (attention weights, post-attention, post-MLP) active only
+        # when training with dropout.
         from tante_tpu.ops.pallas_block import _gelu_tanh_f32, _ln
 
         d = c // self.n_head
@@ -180,15 +186,15 @@ class FusedTransformerBlock(nn.Module):
             m = jnp.tril(jnp.ones((l, l), dtype=bool))
             logits = jnp.where(m, logits, -1e30)
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        w = self._drop_attn(w, deterministic=False)
+        w = self._drop_attn(w, deterministic=deterministic)
         attn = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(*x.shape)
         y = (attn @ params.wo) + params.bo
-        y = self._drop_proj(y, deterministic=False)
+        y = self._drop_proj(y, deterministic=deterministic)
         x = x + y
         yn = _ln(x, params.ln2_scale, params.ln2_bias)
         h1 = ((yn @ params.w1) + params.b1).astype(jnp.float32)
         z = (_gelu_tanh_f32(h1).astype(x.dtype) @ params.w2) + params.b2
-        z = self._drop_mlp(z, deterministic=False)
+        z = self._drop_mlp(z, deterministic=deterministic)
         return x + z
 
 

@@ -145,10 +145,10 @@ class MultiheadAttention(nn.Module):
             else:
                 out = packed_head_attention(q, k, v, causal=causal)
         elif simple:
-            # Moderate sequences: per-head scores; softmax in the compute
-            # dtype (bf16 models keep bf16 — the f32 upcast materializes 2x
-            # the score bytes for <0.1% weight error on <=1k-logit rows;
-            # measured 0.09 vs 0.31 ms at the TANTE W-axis geometry).
+            # Moderate sequences: per-head scores; softmax dtype selected by
+            # UNPACKED_SOFTMAX (default 'f32' — measured faster end to end
+            # than the bf16 softmax despite the 2x score bytes; see the
+            # constant's doc above for the measurements).
             scale = head_dim**-0.5
             logits = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
             if causal:

@@ -142,16 +142,7 @@ def _xla_packed_core(
     return jnp.einsum("spq,sqd->spd", weights.astype(vp.dtype), vp).astype(qp.dtype)
 
 
-def _on_tpu() -> bool:
-    # An explicitly pinned default device wins (tests pin CPU while the
-    # axon TPU plugin is still registered, so default_backend() alone lies).
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return getattr(dd, "platform", str(dd)) == "tpu"
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:
-        return False
+from tante_tpu.ops.backend import on_tpu as _on_tpu  # shared helper
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -83,54 +83,7 @@ def _kernel(
 ):
     p = BlockParams(*[r[:] for r in refs[:-1]])
     o_ref = refs[-1]
-    x = x_ref[:]  # (M, C)
-    m_rows = x.shape[0]
-    c = x.shape[-1]
-    d = c // heads
-    sp = seq_pack * l
-    b_att = m_rows // sp
-
-    xn = _ln(x, p.ln1_scale, p.ln1_bias)
-    dn2 = (((1,), (0,)), ((), ()))  # (M, C) @ (C, N)
-
-    def proj(w, b):
-        y = jax.lax.dot_general(xn, w, dn2, preferred_element_type=jnp.float32)
-        return (y + b).astype(x.dtype)
-
-    q = proj(p.wq, p.bq) * (d**-0.5)
-    k = proj(p.wk, p.bk)
-    v = proj(p.wv, p.bv)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
-    mask = (row // l) == (col // l)
-    if causal:
-        mask = mask & ((row % l) >= (col % l))
-
-    dn_qk = (((2,), (2,)), ((0,), (0,)))
-    dn_av = (((2,), (1,)), ((0,), (0,)))
-    heads_out = []
-    for h in range(heads):
-        qh = q[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
-        kh = k[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
-        vh = v[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
-        scores = jax.lax.dot_general(qh, kh, dn_qk, preferred_element_type=jnp.float32)
-        scores = jnp.where(mask[None], scores, -1e30)
-        smax = jnp.max(scores, axis=-1, keepdims=True)
-        unnorm = jnp.exp(scores - smax)
-        w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
-        ah = jax.lax.dot_general(w, vh, dn_av, preferred_element_type=jnp.float32)
-        heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
-    attn = jnp.concatenate(heads_out, axis=1)  # (M, C)
-
-    out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
-    x = x + (out + p.bo).astype(x.dtype)
-
-    yn = _ln(x, p.ln2_scale, p.ln2_bias)
-    h1 = jax.lax.dot_general(yn, p.w1, dn2, preferred_element_type=jnp.float32)
-    h1 = _gelu_tanh_f32(h1 + p.b1).astype(x.dtype)
-    h2 = jax.lax.dot_general(h1, p.w2, dn2, preferred_element_type=jnp.float32)
-    o_ref[:] = x + (h2 + p.b2).astype(x.dtype)
+    o_ref[:] = _kernel_body(x_ref[:], p, l, heads, seq_pack, causal)
 
 
 def default_seq_pack(l: int) -> int:
@@ -197,14 +150,7 @@ def _xla_block(x, params: BlockParams, l: int, heads: int, causal: bool):
     return x + (h1 @ p.w2.astype(x.dtype)) + p.b2.astype(x.dtype)
 
 
-def _on_tpu() -> bool:
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return getattr(dd, "platform", str(dd)) == "tpu"
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:
-        return False
+from tante_tpu.ops.backend import on_tpu as _on_tpu  # shared helper
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -105,6 +105,11 @@ class CheckpointManager:
 
     def restore(self, path: str, template: Any) -> Dict[str, Any]:
         """Restore a checkpoint; ``template`` is a matching pytree skeleton."""
+        # Two reads by design: the raw (target-free) restore feeds
+        # _validate_tree so mismatches raise a clear error; the templated
+        # restore then rebuilds the optax NamedTuple structure (a raw dict
+        # tree cannot be tree-mapped onto it).  Resume happens once per run,
+        # so the extra deserialization is accepted for the better error.
         raw = self._ckptr.restore(path, None)
         self._validate_tree(template["params"], raw.get("params"), path, "model")
         restored = self._ckptr.restore(path, template)

@@ -303,3 +303,38 @@ def test_trainer_data_parallel_matches_single_device(well_root, tmp_path):
     # Sharded-input path actually sharded the batch over 8 devices.
     batch = next(iter(dm8.train_dataloader()))
     assert len(batch["input"].sharding.device_set) == 8
+
+
+def test_fused_flag_keeps_param_tree_identical():
+    """fused_blocks=True/False (the Trainer flips it under tp) must produce
+    IDENTICAL parameter trees so tp and single-chip checkpoints are
+    interchangeable (round-2 review finding: the old non-fused path used a
+    nested TransformerBlock tree, breaking cross-restore)."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(32, 64),
+        field_names={0: ["a"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=1,
+    )
+
+    def tree_paths(fused):
+        m = TANTE(
+            in_T=2, dset_metadata=md, attn_axes="TH", embed_dim=32,
+            patch_scale=8, n_head=4, fused_blocks=fused,
+        )
+        x = jax.ShapeDtypeStruct((1, 2, 32, 64, 1), jnp.float32)
+        tree = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p): v.shape
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert tree_paths(True) == tree_paths(False)
