@@ -1,4 +1,10 @@
-"""Prototype: a GROUP of axial transformer blocks (THW / THWTHWTHW) fused
+"""Prototype (HISTORICAL): first group-fusion attempt with in-kernel 4-D
+transposes. Superseded by ops/pallas_block.py:fused_group_apply, which uses
+permutation MATMULS instead (in-kernel transposes cost ~170 s of remote
+Mosaic compile time EACH — see docs/PERF.md "Group fusion" for the full
+compile-time isolation matrix and the final >56-minute negative result).
+
+Prototype: a GROUP of axial transformer blocks (THW / THWTHWTHW) fused
 into ONE Pallas kernel, grid over batch elements.
 
 Between blocks, tokens are re-ordered with in-VMEM 4-D transposes (probed
