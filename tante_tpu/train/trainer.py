@@ -201,6 +201,15 @@ class Trainer:
                         deterministic=False,
                         rngs={"dropout": dropout_key},
                     )
+                    # Clear config-mismatch error (the in-loop shape assert
+                    # of the non-CViT path, reference trainer/trainer.py:188):
+                    # model.out_steps must equal trainer.n_steps_output, else
+                    # the metric raises an opaque broadcast error.
+                    assert y_pred.shape == y_pts.shape, (
+                        f"CViT prediction {y_pred.shape} != sampled reference "
+                        f"{y_pts.shape}; set model.out_steps == "
+                        f"trainer.n_steps_output"
+                    )
                     return jnp.mean(loss_metric(y_pred, y_pts, None))
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
