@@ -43,14 +43,20 @@ def uno_spectral_conv(
     m2 = min(w1.shape[3], wf, wf_out)
     c_out = w1.shape[1]
 
-    def cplx(w):
-        return (w[..., 0] + 1j * w[..., 1])[:, :, :m1, :m2]
-
     y_ft = jnp.zeros((x.shape[0], h_out, wf_out, c_out), dtype=x_ft.dtype)
-    top = jnp.einsum("bijc,coij->bijo", x_ft[:, :m1, :m2, :], cplx(w1))
-    bot = jnp.einsum("bijc,coij->bijo", x_ft[:, -m1:, :m2, :], cplx(w2))
-    y_ft = y_ft.at[:, :m1, :m2, :].set(top)
-    y_ft = y_ft.at[:, -m1:, :m2, :].set(bot)
+    # Degenerate levels (tiny inputs drive the U topology's D/32 stage to a
+    # 1-pixel grid -> zero kept modes) contribute nothing spectrally, same
+    # convention as ops/spectral.spectral_conv2d; the pointwise path of the
+    # operator block still carries the signal.
+    if m1 > 0 and m2 > 0:
+
+        def cplx(w):
+            return (w[..., 0] + 1j * w[..., 1])[:, :, :m1, :m2]
+
+        top = jnp.einsum("bijc,coij->bijo", x_ft[:, :m1, :m2, :], cplx(w1))
+        bot = jnp.einsum("bijc,coij->bijo", x_ft[:, -m1:, :m2, :], cplx(w2))
+        y_ft = y_ft.at[:, :m1, :m2, :].set(top)
+        y_ft = y_ft.at[:, -m1:, :m2, :].set(bot)
     return jnp.fft.irfft2(y_ft, s=(h_out, w_out), axes=(1, 2), norm="forward")
 
 

@@ -320,3 +320,26 @@ def test_spectral_conv3d_reduces_to_2d_at_depth_one():
     y2 = spectral_conv2d_centered(x, w2, 6, 6)
     y3 = spectral_conv3d_centered(x[:, None], w2[:, :, None], 1, 6, 6)
     np.testing.assert_allclose(np.asarray(y3[:, 0]), np.asarray(y2), atol=1e-5)
+
+
+def test_uno_small_resolution_degenerate_levels():
+    """At 32x64 the U topology's D/32 stage is a 1-pixel grid (zero kept
+    modes); the spectral contribution must degrade to zero (same convention
+    as ops/spectral.spectral_conv2d) instead of a 0-size einsum error."""
+    from tante_tpu.models import UNO
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(32, 64),
+        field_names={0: ["a"], 1: ["vx", "vy"], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = UNO(in_T=4, dset_metadata=md, width=8, factor=1)
+    _, y = _run(model, x_shape=(2, 4, 32, 64, 3))
+    assert y.shape == (2, 1, 32, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
