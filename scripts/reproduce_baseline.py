@@ -44,7 +44,19 @@ PUBLISHED_L2RE = {
     "avit": {"tr": 0.1264, "am": 0.1539, "vf": 0.0443, "rb": 0.0933},
     "cvit": {"tr": 0.0882, "am": 0.0375, "vf": 0.2315, "rb": 0.2891},
     "tante": {"tr": 0.0790, "am": 0.0286, "vf": 0.0270, "rb": 0.0285},  # TANTE-1
-    "tante_adaptive": {"tr": 0.0790, "am": 0.0286, "vf": 0.0270, "rb": 0.0285},
+    # The published TANTE-0/1/2 rows correspond to the reference's SHIPPED
+    # config (deg=True, taylor_order=k); the adaptive (deg=False) variant has
+    # no separately published accuracy row, so no value is claimed for it.
+    "tante_adaptive": None,
+}
+
+# Which published table row each config maps to (emitted in the report so a
+# reader can check the comparison is against the intended variant).
+PUBLISHED_VARIANT = {
+    "tante": "TANTE-1 (deg=True, taylor_order=1)",
+    "dpot": "DPOT-S",
+    "unet_convnext": "CNextUNet",
+    "unet_att": "AttUNet",
 }
 
 
@@ -118,13 +130,19 @@ def main(argv=None):
         args.model, overrides + ["evaler.n_steps_rollout=4"], choose=args.choose
     )
     l2re = report["metrics"].get("L2RE")
-    published = PUBLISHED_L2RE.get(args.model, {}).get(short)
+    published_rows = PUBLISHED_L2RE.get(args.model)
+    published = published_rows.get(short) if published_rows else None
     out = {
         "benchmark": dataset,
         "model": args.model,
         "protocol": "L2RE@4-step (BASELINE.md)",
         "measured_l2re": l2re,
         "published_l2re": published,
+        "published_variant": (
+            PUBLISHED_VARIANT.get(args.model, args.model.upper())
+            if published is not None
+            else None
+        ),
         "comparable": not args.synthetic,
         "note": (
             "synthetic data: pipeline dry-run only, accuracy not comparable to the table"

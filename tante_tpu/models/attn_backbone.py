@@ -121,7 +121,9 @@ class AttnBackbone(nn.Module):
             self.fused
             and self.fused_group
             and (deterministic or self.dropout == 0.0)
-            and group_fusable(axes, (t, h, w), c, self.n_head)
+            and group_fusable(
+                axes, (t, h, w), c, self.n_head, jnp.dtype(self.dtype).itemsize
+            )
         ):
             blocks = [
                 FusedTransformerBlock(

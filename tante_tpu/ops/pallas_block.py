@@ -364,10 +364,17 @@ def _xla_group(x5, params_seq, axes, heads):
     return x
 
 
-def group_fusable(axes: str, dims, c: int, heads: int) -> bool:
+def group_fusable(axes: str, dims, c: int, heads: int, itemsize: int = 2) -> bool:
     """Whether the T/H/W chain can run in the group kernel: known axes,
     per-axis row counts divisible by the packed sequence length, and a
-    per-batch-element activation that fits a VMEM budget."""
+    per-batch-element activation that fits a VMEM budget.
+
+    ``itemsize`` is the activation dtype's byte width (pass
+    ``jnp.dtype(x.dtype).itemsize``); the permutation-matrix count comes
+    from a dry ``_layout_plan`` call rather than an assumed maximum, so the
+    estimate tracks the actual working set (non-cyclic axis strings can
+    intern up to 6 distinct perms).
+    """
     t, h, w = dims
     m = t * h * w
     if any(a not in _ORDER for a in axes):
@@ -378,9 +385,10 @@ def group_fusable(axes: str, dims, c: int, heads: int) -> bool:
         l = {"T": t, "H": h, "W": w}[a]
         if m % l:
             return False
-    # VMEM: activations/intermediates (~8 x-sized buffers) + up to 3
+    n_perms = len(_layout_plan(axes, dims)[2])
+    # VMEM: activations/intermediates (~8 x-sized buffers) + the actual
     # (m, m) permutation matrices; keep under ~80 MiB of the 128 on v5e.
-    return m * c * 2 * 8 + 3 * m * m * 2 <= 80 * 2**20
+    return (m * c * itemsize * 8 + n_perms * m * m * itemsize) <= 80 * 2**20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
