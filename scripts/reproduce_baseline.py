@@ -60,6 +60,69 @@ PUBLISHED_VARIANT = {
 }
 
 
+def forward_parity(model_name: str):
+    """Max |JAX - torch-reference| forward deviation from the committed
+    weight-transplant fixtures (tests/fixtures/transplant.npz) for the
+    chosen model family, so an L2RE delta in this report is immediately
+    attributable to training dynamics vs op drift (VERDICT r2 #1/#9).
+
+    Returns (max_abs_diff, fixture_tag) or (None, None) if the family has
+    no whole-model fixture."""
+    tag = {
+        "tante": "tante_cnn",
+        "tante_adaptive": "tante_ad",
+        "avit": "avit",
+    }.get(model_name)
+    if tag is None:
+        return None, None
+    try:
+        import numpy as np
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests"))
+        import test_model_transplant as tm
+        import jax.numpy as jnp
+
+        fx = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "..", "tests", "fixtures", "transplant.npz"))
+        sd = tm.sd_of(fx, tag)
+        x = tm._nhwc(fx[f"{tag}.x"])
+        if tag == "avit":
+            got = None  # the avit test builds its own metadata; reuse it
+            import pytest  # noqa: F401  (test module importable without a session)
+
+            # replicate the test body inline
+            from tante_tpu.data.dataset import TanteMetadata
+            from tante_tpu.models.avit import AViT
+
+            md = TanteMetadata(
+                dataset_name="parity_avit", n_spatial_dims=2,
+                spatial_resolution=(2 * tm.H, 2 * tm.W),
+                field_names={0: ["a", "b", "c"], 1: [], 2: []},
+                boundary_condition_types=["PERIODIC"], n_files=1,
+                n_trajectories_per_file=[1], n_steps_per_trajectory=[8],
+                n_fields=tm.F)
+            model = AViT(in_T=tm.T, dset_metadata=md, out_steps=4,
+                         patch_size=(16, 16), embed_dim=tm.EMBED, num_heads=4,
+                         processor_blocks=2, drop_path=0.0)
+            got = model.apply({"params": tm.avit_params(sd)}, jnp.asarray(x))
+        elif tag == "tante_ad":
+            model = tm.build_tante("cnn", deg=False, output_length=1)
+            got, _ = model.apply(
+                {"params": tm.tante_params(sd, "cnn", deg=False)}, jnp.asarray(x), 4.0
+            )
+            got = got[:, : fx[f"{tag}.y"].shape[1]]
+        else:
+            model = tm.build_tante("cnn", deg=True)
+            got = model.apply(
+                {"params": tm.tante_params(sd, "cnn", deg=True)}, jnp.asarray(x)
+            )
+        want = tm._nhwc(fx[f"{tag}.y"])
+        return float(np.max(np.abs(np.asarray(got) - want))), tag
+    except Exception as e:  # parity report must never block the eval report
+        return f"error: {e}", tag
+
+
 def run_eval(config_name: str, overrides: list[str], choose: str) -> dict:
     """Library-level twin of ``tante_tpu.cli.eval`` that returns the report."""
     from tante_tpu.config import instantiate, load_config, set_ckpt
@@ -151,6 +214,13 @@ def main(argv=None):
         ),
         "all_metrics": report["metrics"],
     }
+    parity, parity_tag = forward_parity(args.model)
+    if parity is not None:
+        out["forward_parity"] = {
+            "max_abs_diff_vs_torch_reference": parity,
+            "fixture": parity_tag,
+            "protocol": "weight-transplant forward parity (tests/test_model_transplant.py)",
+        }
     print(json.dumps(out))
     return out
 
