@@ -236,3 +236,49 @@ def test_dataset_remote_uri_via_fsspec(well_root):
     a, b = local[3], remote[3]
     np.testing.assert_array_equal(a["input"], b["input"])
     np.testing.assert_array_equal(a["output"], b["output"])
+
+
+def test_multihost_loader_slicing(monkeypatch):
+    """Simulated 2-host loading (VERDICT r2 next-step #6): with
+    ``jax.process_count() == 2`` each process must collate only ITS slice of
+    the global batch (``loader.py:local_slice``), the two slices must
+    reassemble the exact single-host global batch in order, and the shard
+    handed to ``make_array_from_process_local_data`` must be the per-host
+    half.  (The real multi-host assembly is jax's contract; the slicing
+    math here is ours — the rank arithmetic of the reference
+    DistributedSampler, data/datamodule.py:98-108.)"""
+    import jax as jax_mod
+
+    from tante_tpu.data.loader import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    sentinel = object()
+
+    def run(rank, count):
+        monkeypatch.setattr(jax_mod, "process_count", lambda: count)
+        monkeypatch.setattr(jax_mod, "process_index", lambda: rank)
+        if count > 1:
+            monkeypatch.setattr(
+                jax_mod,
+                "make_array_from_process_local_data",
+                lambda sharding, v: v,  # pass the local shard through
+            )
+        dl = DataLoader(
+            _DS(), batch_size=8, shuffle=True, drop_last=True,
+            num_workers=2, seed=3, sharding=sentinel if count > 1 else None,
+        )
+        return [np.asarray(b["x"]) for b in dl]
+
+    shard0 = run(0, 2)
+    shard1 = run(1, 2)
+    ref = run(0, 1)
+    assert len(shard0) == len(shard1) == len(ref) == 2
+    for b0, b1, r in zip(shard0, shard1, ref):
+        assert b0.shape[0] == b1.shape[0] == 4  # half the global batch each
+        np.testing.assert_array_equal(np.concatenate([b0, b1], axis=0), r)

@@ -338,3 +338,71 @@ def test_fused_flag_keeps_param_tree_identical():
         }
 
     assert tree_paths(True) == tree_paths(False)
+
+
+@requires_8
+def test_tp_collective_pattern():
+    """STRUCTURAL check of the Megatron tp layout (VERDICT r2 next-step #5):
+    the compiled tp=2 forward must contain EXACTLY 2 token-tensor
+    all-reduces per transformer block — after the attention out-projection
+    (input-sharded wo) and after the MLP fc2 (input-sharded w2) — and no
+    all-gather / reduce-scatter / collective-permute anywhere.
+
+    The numerics test above proves correctness; this pins the *comm
+    pattern* claimed in parallel/sharding.py:4-8, so a rule regression that
+    silently replicates a weight (correct but chatty) fails loudly.
+
+    XLA additionally distributes the three tiny axis-propagator einsums
+    over the idle tp ranks (contraction split + psum on 5-D grid tensors);
+    those are counted separately and bounded.
+    """
+    import re
+
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+
+    md = TanteMetadata(
+        dataset_name="tp_hlo",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 32),
+        field_names={0: ["f"] * 3, 1: [], 2: []},
+        boundary_condition_types=["PERIODIC"],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    n_blocks = 3  # THW
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THW",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=True,
+        fused_blocks=False,  # tp path: the Trainer flips this flag under tp
+    )
+    mesh = make_mesh(8, ("dp", "tp"), (4, 2), devices=cpu_devices)
+    x = jnp.zeros((8, 4, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    fwd = jax.jit(
+        lambda p, xx: model.apply(p, xx),
+        in_shardings=(param_shardings(params, mesh), batch_sharding(mesh)),
+    )
+    hlo = fwd.lower(params, x).compile().as_text()
+
+    ar_shapes = [
+        re.match(r"\s*\S+ = (\S+?)\{", line).group(1)
+        for line in hlo.splitlines()
+        if re.search(r"= \S+ all-reduce\(", line)
+    ]
+    # token-tensor all-reduces: rank-3 (rows, l, c) — the Megatron pair
+    rank3 = [s for s in ar_shapes if s.count(",") == 2]
+    assert len(rank3) == 2 * n_blocks, (ar_shapes, hlo.count("all-reduce"))
+    # everything else must be the (bounded) propagator contraction psums
+    assert len(ar_shapes) <= 2 * n_blocks + 3, ar_shapes
+    for coll in ("all-gather", "reduce-scatter", "collective-permute"):
+        assert f" {coll}(" not in hlo, coll
