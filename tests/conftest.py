@@ -6,15 +6,22 @@ import os
 # Force CPU even when the shell exports JAX_PLATFORMS=axon (tunneled TPU):
 # unit tests must be hardware-independent and use 8 virtual devices.  The
 # axon platform plugin ignores JAX_PLATFORMS, so additionally pin the default
-# device to CPU after import.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# device to CPU after import.  TANTE_TPU_TESTS=1 opts OUT of the pin so the
+# hardware-marked tests (tests/test_pallas_tpu.py) can drive the real chip:
+#   TANTE_TPU_TESTS=1 pytest -n 0 tests/test_pallas_tpu.py
+ON_TPU_SUITE = os.environ.get("TANTE_TPU_TESTS") == "1"
+if not ON_TPU_SUITE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+if not ON_TPU_SUITE:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 # Persistent XLA compilation cache: the suite is compile-dominated on CPU
 # (hundreds of small jit/shard_map programs), so repeat runs — CI retries,
@@ -43,6 +50,25 @@ def well_root(tmp_path_factory):
         n_trajectories=3,
         n_steps=24,
         resolution=(32, 64),
+    )
+    return str(base)
+
+
+@pytest.fixture(scope="session")
+def well_root_tiny(tmp_path_factory):
+    """Minimal synthetic Well dataset for PLUMBING e2e tests (checkpointing,
+    batch-stats threading, AMP, evaler wiring): per-epoch step counts and
+    per-step FLOPs are what dominate suite wall-clock on a 1-CPU host, not
+    compiles, so tests that only assert mechanics run on 2x12 @ 16x32."""
+    from tante_tpu.data.synthetic import make_well_dataset
+
+    base = tmp_path_factory.mktemp("well_tiny")
+    make_well_dataset(
+        str(base),
+        dataset_name="synthetic_waves",
+        n_trajectories=2,
+        n_steps=12,
+        resolution=(16, 32),
     )
     return str(base)
 

@@ -40,6 +40,21 @@ def dm(well_root):
     )
 
 
+@pytest.fixture()
+def dm_tiny(well_root_tiny):
+    """Tiny datamodule for mechanics-only tests (see conftest)."""
+    return TanteDataModule(
+        base_path=well_root_tiny,
+        dataset_name="synthetic_waves",
+        batch_size=2,
+        n_steps_input=4,
+        n_steps_output=2,
+        eval_steps_output=4,
+        data_workers=2,
+        seed=0,
+    )
+
+
 def make_trainer(dm, model, tmp_path, cls=Trainer, formatter="channels_first_default", **kw):
     md = dm.train_dataset.metadata
     return cls(
@@ -77,17 +92,17 @@ def test_fno_trainer_end_to_end(dm, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "saved_loss.txt"))
 
 
-def test_trainer_checkpoint_resume(dm, tmp_path):
-    md = dm.train_dataset.metadata
+def test_trainer_checkpoint_resume(dm_tiny, tmp_path):
+    md = dm_tiny.train_dataset.metadata
     model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
-    trainer = make_trainer(dm, model, tmp_path)
+    trainer = make_trainer(dm_tiny, model, tmp_path)
     trainer.train()  # 2 epochs, saves recent + best
 
     assert os.path.isdir(os.path.join(str(tmp_path), "recent"))
     assert os.path.isdir(os.path.join(str(tmp_path), "best"))
 
     # Resume: a new trainer picks up from epoch 3.
-    trainer2 = make_trainer(dm, model, tmp_path, checkpoint_path=os.path.join(str(tmp_path), "recent"))
+    trainer2 = make_trainer(dm_tiny, model, tmp_path, checkpoint_path=os.path.join(str(tmp_path), "recent"))
     assert trainer2.starting_epoch == 3
     leaves1 = [np.asarray(x) for x in __import__("jax").tree.leaves(trainer.params)]
     leaves2 = [np.asarray(x) for x in __import__("jax").tree.leaves(trainer2.params)]
@@ -95,17 +110,17 @@ def test_trainer_checkpoint_resume(dm, tmp_path):
         np.testing.assert_allclose(a, b)
 
 
-def test_evaler_four_metric_report(dm, tmp_path):
-    md = dm.train_dataset.metadata
+def test_evaler_four_metric_report(dm_tiny, tmp_path):
+    md = dm_tiny.train_dataset.metadata
     model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
-    trainer = make_trainer(dm, model, tmp_path)
+    trainer = make_trainer(dm_tiny, model, tmp_path)
     trainer.train()
 
     evaler = Evaler(
         checkpoint_folder=str(tmp_path),
         formatter="channels_first_default",
         model=model,
-        datamodule=dm,
+        datamodule=dm_tiny,
         eval_loss_fn1=MSE(),
         eval_loss_fn2=L2RE(),
         eval_loss_fn3=NNMSE(),
@@ -120,8 +135,8 @@ def test_evaler_four_metric_report(dm, tmp_path):
     assert report["mean_rollout_time_s"] > 0
 
 
-def test_adaptive_trainer_and_evaler(dm, tmp_path):
-    md = dm.train_dataset.metadata
+def test_adaptive_trainer_and_evaler(dm_tiny, tmp_path):
+    md = dm_tiny.train_dataset.metadata
     model = TANTE(
         in_T=4,
         dset_metadata=md,
@@ -133,12 +148,12 @@ def test_adaptive_trainer_and_evaler(dm, tmp_path):
         n_head=4,
         dropout=0.1,
     )
-    trainer = make_trainer(dm, model, tmp_path, cls=R_Trainer)
-    loader = dm.train_dataloader()
+    trainer = make_trainer(dm_tiny, model, tmp_path, cls=R_Trainer)
+    loader = dm_tiny.train_dataloader()
     loss, logs = trainer.train_one_epoch(1, loader)
     assert np.isfinite(loss)
     assert 1.0 <= logs["rt"] <= 1.6  # out_T=1.5 band
-    val = trainer.validation_loop(dm.val_dataloader())
+    val = trainer.validation_loop(dm_tiny.val_dataloader())
     assert np.isfinite(val)
     assert os.path.exists(os.path.join(str(tmp_path), "saved_rt.txt"))
     trainer.save_model(1, val, "recent")
@@ -147,7 +162,7 @@ def test_adaptive_trainer_and_evaler(dm, tmp_path):
         checkpoint_folder=str(tmp_path),
         formatter="channels_first_default",
         model=model,
-        datamodule=dm,
+        datamodule=dm_tiny,
         eval_loss_fn1=MSE(),
         eval_loss_fn2=L2RE(),
         eval_loss_fn3=NNMSE(),
@@ -161,26 +176,26 @@ def test_adaptive_trainer_and_evaler(dm, tmp_path):
     assert 1 <= report["model_calls_per_rollout"] <= 4
 
 
-def test_batchnorm_model_trains_and_updates_stats(dm, tmp_path):
+def test_batchnorm_model_trains_and_updates_stats(dm_tiny, tmp_path):
     """AttentionUNet exercises the mutable batch_stats path through the
     compiled rollout (SURVEY.md hard part #5)."""
     import jax
 
     from tante_tpu.models import AttentionUNet
 
-    md = dm.train_dataset.metadata
+    md = dm_tiny.train_dataset.metadata
     model = AttentionUNet(in_T=4, dset_metadata=md, depth=2, out_T=1)
-    trainer = make_trainer(dm, model, tmp_path)
+    trainer = make_trainer(dm_tiny, model, tmp_path)
     assert "batch_stats" in trainer.params
 
     before = [np.array(x) for x in jax.tree.leaves(trainer.params["batch_stats"])]
-    loader = dm.train_dataloader()
+    loader = dm_tiny.train_dataloader()
     loss, _ = trainer.train_one_epoch(1, loader)
     assert np.isfinite(loss)
     after = [np.array(x) for x in jax.tree.leaves(trainer.params["batch_stats"])]
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
 
-    val = trainer.validation_loop(dm.val_dataloader())
+    val = trainer.validation_loop(dm_tiny.val_dataloader())
     assert np.isfinite(val)
 
 
@@ -231,14 +246,14 @@ def test_cvit_trainer_and_evaler(dm, tmp_path):
     assert all(np.isfinite(v) for v in report["metrics"].values())
 
 
-def test_trainer_bf16_amp(dm, tmp_path):
+def test_trainer_bf16_amp(dm_tiny, tmp_path):
     """enable_amp swaps the model compute dtype to bfloat16 (f32 params);
     training must run and produce finite, decreasing loss."""
     import jax.numpy as jnp
 
-    md = dm.train_dataset.metadata
+    md = dm_tiny.train_dataset.metadata
     model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
-    trainer = make_trainer(dm, model, tmp_path, enable_amp=True, amp_type="bfloat16")
+    trainer = make_trainer(dm_tiny, model, tmp_path, enable_amp=True, amp_type="bfloat16")
     assert trainer.model.dtype == jnp.bfloat16
     # params stay f32
     import jax
@@ -247,26 +262,26 @@ def test_trainer_bf16_amp(dm, tmp_path):
         p.dtype == jnp.float32
         for p in jax.tree.leaves(trainer.params["params"])
     )
-    loader = dm.train_dataloader()
+    loader = dm_tiny.train_dataloader()
     loss0, _ = trainer.train_one_epoch(1, loader)
     loss1, _ = trainer.train_one_epoch(2, loader)
     assert np.isfinite(loss0) and np.isfinite(loss1)
-    val = trainer.validation_loop(dm.val_dataloader())
+    val = trainer.validation_loop(dm_tiny.val_dataloader())
     assert np.isfinite(val)
 
 
-def test_evaler_tante_latent_fast_path(dm, tmp_path):
+def test_evaler_tante_latent_fast_path(dm_tiny, tmp_path):
     """Evaler routes fixed-step TANTE through the latent-caching rollout;
     report must match the generic rollout path."""
     import jax
 
-    md = dm.train_dataset.metadata
+    md = dm_tiny.train_dataset.metadata
     model = TANTE(
         in_T=4, dset_metadata=md, taylor_order=1, attn_axes="TH",
         embed_dim=32, patch_scale=8, n_head=4, output_length=1, deg=True,
     )
-    trainer = make_trainer(dm, model, tmp_path)
-    trainer.train_one_epoch(1, dm.train_dataloader())
+    trainer = make_trainer(dm_tiny, model, tmp_path)
+    trainer.train_one_epoch(1, dm_tiny.train_dataloader())
     trainer.save_model(1, 1.0, "recent")
 
     def build_evaler():
@@ -274,7 +289,7 @@ def test_evaler_tante_latent_fast_path(dm, tmp_path):
             checkpoint_folder=str(tmp_path),
             formatter="channels_first_default",
             model=model,
-            datamodule=dm,
+            datamodule=dm_tiny,
             eval_loss_fn1=MSE(),
             eval_loss_fn2=L2RE(),
             eval_loss_fn3=NNMSE(),
@@ -305,7 +320,7 @@ def test_evaler_tante_latent_fast_path(dm, tmp_path):
             )
 
         ev2._rollout = generic
-        report_generic = ev2.validation_loop(dm.test_dataloader())
+        report_generic = ev2.validation_loop(dm_tiny.test_dataloader())
 
     for i, name in enumerate(ev.loss_names):
         np.testing.assert_allclose(
