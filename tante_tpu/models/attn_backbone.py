@@ -89,6 +89,13 @@ class AttnBackbone(nn.Module):
     # unrolls every per-head dot), so it stays OPT-IN until kernel compile
     # cost is acceptable; the per-block fused kernel is the default path.
     fused_group: bool = False
+    # Sub-chain fusion: consecutive runs of T/H/W blocks (up to
+    # ``fused_chain`` long) share one Pallas kernel via
+    # ops/pallas_block.fused_chain_apply — each interior axis switch trades
+    # an HBM-round-trip XLA transpose pair for an in-VMEM permutation
+    # matmul.  0 disables.  Unlike fused_group, compile cost stays bounded
+    # (one kernel per run length actually used).
+    fused_chain: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,6 +105,13 @@ class AttnBackbone(nn.Module):
         if axes == "":
             raise ValueError("Invalid block: empty segment.")
         b = x.shape[0]
+
+        # Compute-dtype gate: upstream f32 parameters (positional embeddings,
+        # FiLM) silently promote the activation to f32, which then rides
+        # through every block — 2x the HBM traffic and a lower MXU rate for
+        # the entire backbone under bf16 configs (caught on-chip: the kernels
+        # were compiling for f32[24576,256] at the bf16 flagship).
+        x = x.astype(self.dtype)
 
         # Propagators mix along H, W, then T (attn_backbone.py:140-146).
         x = AxisPropagator(h, axis=2, dtype=self.dtype, name="vertical_propagator")(x)
@@ -139,7 +153,51 @@ class AttnBackbone(nn.Module):
             params_seq = tuple(blk.block_params() for blk in blocks)
             return fused_group_apply(x, params_seq, axes, self.n_head)
 
-        for i, axis in enumerate(axes):
+        from tante_tpu.ops.pallas_block import chain_fusable, fused_chain_apply
+
+        use_chain = (
+            self.fused
+            and self.fused_chain >= 2
+            and (deterministic or self.dropout == 0.0)
+        )
+
+        i = 0
+        while i < len(axes):
+            axis = axes[i]
+            if use_chain and axis in "THW":
+                run = axes[i : i + self.fused_chain]
+                j = 0
+                while j < len(run) and run[j] in "THW":
+                    j += 1
+                run = run[:j]
+                if len(run) >= 2 and chain_fusable(
+                    run, (t, h, w), c, self.n_head, jnp.dtype(self.dtype).itemsize
+                ):
+                    blocks = [
+                        FusedTransformerBlock(
+                            embed_dim=c,
+                            n_head=self.n_head,
+                            mlp_ratio=self.mlp_ratio,
+                            dropout=self.dropout,
+                            dtype=self.dtype,
+                            name=f"block_{i + k}",
+                        )
+                        for k in range(len(run))
+                    ]
+                    params_seq = tuple(blk.block_params() for blk in blocks)
+                    first, last = run[0], run[-1]
+                    pat = {
+                        "T": ("b t h w c -> (b h w) t c", dict(b=b, h=h, w=w)),
+                        "H": ("b t h w c -> (b t w) h c", dict(b=b, t=t, w=w)),
+                        "W": ("b t h w c -> (b t h) w c", dict(b=b, t=t, h=h)),
+                    }
+                    y = rearrange(x, pat[first][0])
+                    y = fused_chain_apply(y, params_seq, run, self.n_head, (t, h, w))
+                    inv, kw = pat[last]
+                    src, dst = inv.split(" -> ")
+                    x = rearrange(y, f"{dst} -> {src}", **kw)
+                    i += len(run)
+                    continue
             embed_dim = self.expanded_channel if axis == "C" else c
             block = block_cls(
                 embed_dim=embed_dim,
@@ -194,4 +252,5 @@ class AttnBackbone(nn.Module):
                 x = rearrange(y, "(b t h w) c -> b t h w c", b=b, t=t, h=h, w=w)
             else:
                 raise ValueError(f"Invalid attention axis '{axis}'")
+            i += 1
         return x

@@ -93,6 +93,9 @@ class TANTE(nn.Module):
     # Fused Pallas transformer-block kernel (see models/attn_backbone.py);
     # disable under tensor parallelism (the Trainer does this automatically).
     fused_blocks: bool = True
+    # Sub-chain fusion length (models/attn_backbone.py:fused_chain): runs of
+    # up to N consecutive T/H/W blocks share one Pallas kernel.  0 = off.
+    fused_chain: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -163,6 +166,7 @@ class TANTE(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 fused=self.fused_blocks,
+                fused_chain=self.fused_chain,
                 dtype=self.dtype,
             )
             for block_axes in self.blocks_axes
@@ -213,8 +217,11 @@ class TANTE(nn.Module):
         physical last frame (the Taylor expansion point u(0)).
         """
         x = self.t_encode(latents, self.t_seq)
+        # Add the (f32-stored) embeddings without promoting the activation:
+        # the sums run in f32 for precision, then drop back to the compute
+        # dtype once (the backbone re-asserts it defensively as well).
         x = x + self.s_emb  # (1, H_p, W_p, C) broadcasts over (B, T)
-        x = x + self.t_emb[:, :, None, None, :]  # (1, T, 1, 1, C)
+        x = (x + self.t_emb[:, :, None, None, :]).astype(self.dtype)
 
         derivatives = []
         r_ts = []

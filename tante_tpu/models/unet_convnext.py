@@ -91,6 +91,17 @@ class ConvNextBlock(nn.Module):
         return x + y
 
 
+class _ConvNextScanCell(nn.Module):
+    """One ConvNext block in (carry, _) -> (carry, None) form for nn.scan."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        return ConvNextBlock(self.dim, dtype=self.dtype)(carry), None
+
+
 class Stage(nn.Module):
     dim_in: int
     dim_out: int
@@ -103,7 +114,20 @@ class Stage(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.skip_project:
             x = _conv(self.dim_in, 1, dtype=self.dtype, c_in=x.shape[-1], name="skip_proj")(x)
-        for _ in range(self.depth):
+        if self.depth > 1:
+            # lax.scan over the depth-stacked block params: the per-stage
+            # blocks are shape-identical, so XLA compiles ONE block body per
+            # stage instead of ``depth`` unrolled copies.  This is what
+            # brings the whole-model TPU compile inside a practical window
+            # (the shipped config has blocks_per_stage=4 over 9 stages; the
+            # unrolled form exceeded the round-2 session compile budget).
+            x, _ = nn.scan(
+                _ConvNextScanCell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+            )(self.dim_in, dtype=self.dtype, name="blocks")(x, None)
+        elif self.depth == 1:
             x = ConvNextBlock(self.dim_in, dtype=self.dtype)(x)
         if self.mode == "down":
             x = ChannelL2Norm()(x)

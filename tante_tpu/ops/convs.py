@@ -21,12 +21,99 @@ from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 from tante_tpu.ops.pooling import adaptive_avg_pool2d, resize_bilinear
 
 
+# Space-to-depth fast path for non-overlapping patch convs
+# (_PatchDense[Transpose]).  Measured chain-level on v5e and REJECTED as the
+# default: the op-level analysis promised ~10x on the tiny stride==kernel
+# convs, but end-to-end the 4-channel boundary transposes cost more than
+# XLA's conv emitter (old928 A/B: 8.0 ms/call vs 4.4 baseline) — the
+# micro-win != chain-win lesson of docs/PERF.md again.  Kept opt-in for
+# geometries with fatter boundary channels.
+import os
+
+_PATCH_DENSE = os.environ.get("TANTE_PATCH_DENSE", "0") == "1"
+
+
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
 def _stride(p: int, overlap_ratio: float) -> int:
     return max(1, int(round(p * (1.0 - overlap_ratio))))
+
+
+class _PatchDense(nn.Module):
+    """Non-overlapping patchify conv as space-to-depth + matmul.
+
+    Parameter-compatible with the ``nn.Conv`` it replaces: ``kernel`` keeps
+    the HWIO ``(p_h, p_w, c_in, features)`` shape (flattened in that order,
+    which is exactly the patch layout), ``bias`` is ``(features,)``.
+    """
+
+    features: int
+    patch: Tuple[int, int]
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p_h, p_w = self.patch
+        h, w, c_in = x.shape[-3], x.shape[-2], x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (p_h, p_w, c_in, self.features)
+        )
+        lead = x.shape[:-3]
+        z = x.reshape(*lead, h // p_h, p_h, w // p_w, p_w, c_in)
+        nd = z.ndim
+        z = z.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+        z = z.reshape(*lead, h // p_h, w // p_w, p_h * p_w * c_in)
+        wmat = kernel.reshape(p_h * p_w * c_in, self.features)
+        y = z.astype(self.dtype) @ wmat.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class _PatchDenseTranspose(nn.Module):
+    """Non-overlapping de-patchify ConvTranspose as matmul + depth-to-space.
+
+    Parameter-compatible with ``nn.ConvTranspose``: ``kernel`` keeps the
+    ``(p_h, p_w, c_in, features)`` shape.
+    """
+
+    features: int
+    patch: Tuple[int, int]
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p_h, p_w = self.patch
+        h, w, c_in = x.shape[-3], x.shape[-2], x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (p_h, p_w, c_in, self.features)
+        )
+        # (ph, pw, ci, co) -> (ci, ph*pw*co): each input pixel expands to a
+        # (ph, pw) patch of co-channel outputs.  lax.conv_transpose (flax's
+        # backend, transpose_kernel=False) mirrors the kernel spatially, so
+        # flip to match its convention exactly.
+        wmat = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(
+            c_in, p_h * p_w * self.features
+        )
+        y = x.astype(self.dtype) @ wmat.astype(self.dtype)
+        lead = x.shape[:-3]
+        y = y.reshape(*lead, h, w, p_h, p_w, self.features)
+        nd = y.ndim
+        y = y.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+        y = y.reshape(*lead, h * p_h, w * p_w, self.features)
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class RealConv2d(nn.Module):
@@ -46,6 +133,24 @@ class RealConv2d(nn.Module):
         pad_h, pad_w = (p_h - 1) // 2, (p_w - 1) // 2
         h, w = x.shape[-3], x.shape[-2]
         c_in = x.shape[-1]
+        if (
+            _PATCH_DENSE
+            and (s_h, s_w) == (p_h, p_w)
+            and (pad_h, pad_w) == (0, 0)
+            and h % p_h == 0
+            and w % p_w == 0
+            and p_h * p_w > 1
+        ):
+            # Opt-in (see _PATCH_DENSE above): space-to-depth + one dense
+            # matmul.  _PatchDense is named/parameterized exactly like the
+            # nn.Conv it replaces, so checkpoints are interchangeable.
+            return _PatchDense(
+                features=self.out_channels,
+                patch=(p_h, p_w),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         y = nn.Conv(
             features=self.out_channels,
             kernel_size=(p_h, p_w),
@@ -81,6 +186,20 @@ class RealTransConv2d(nn.Module):
         pad_h, pad_w = (p_h - 1) // 2, (p_w - 1) // 2
         h, w = x.shape[-3], x.shape[-2]
         c_in = x.shape[-1]
+        if (
+            _PATCH_DENSE
+            and (s_h, s_w) == (p_h, p_w)
+            and (pad_h, pad_w) == (0, 0)
+            and p_h * p_w > 1
+        ):
+            # Mirror of the RealConv2d fast path (see _PatchDense notes).
+            return _PatchDenseTranspose(
+                features=self.out_channels,
+                patch=(p_h, p_w),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="ConvTranspose_0",
+            )(x)
         y = nn.ConvTranspose(
             features=self.out_channels,
             kernel_size=(p_h, p_w),

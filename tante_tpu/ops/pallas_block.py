@@ -34,6 +34,7 @@ driven by the rollout hot loop trainer/trainer.py:144-159.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -59,6 +60,33 @@ class BlockParams(NamedTuple):
     b1: jnp.ndarray
     w2: jnp.ndarray
     b2: jnp.ndarray
+
+
+# Tuning knobs (chain-level A/B on v5e, scripts/ab_block_tuning.py):
+#  - row_tile: None = default_row_tile heuristic.  A divisor of the row
+#    count avoids the XLA pad+slice around every kernel call.
+#  - softmax: "fast" (default) = additive-bias mask, no max-subtract,
+#    scores clamped at +60 before exp — mathematically identical whenever
+#    scores < 60 (exp stays finite), and the clamp keeps adversarial
+#    activations from producing inf/inf = NaN.  "safe" = masked f32 softmax
+#    with max-subtraction (bitwise the _xla_block formulation).  Measured:
+#    fast is ~0.45 ms/call faster at the flagship geometry (8%), and its
+#    on-chip numerics vs XLA are asserted in tests/test_pallas_tpu.py.
+_TUNE = {
+    "row_tile": int(os.environ["TANTE_BLOCK_ROW_TILE"])
+    if os.environ.get("TANTE_BLOCK_ROW_TILE")
+    else None,
+    "softmax": os.environ.get("TANTE_BLOCK_SOFTMAX", "fast"),
+}
+
+
+def set_block_tuning(row_tile: int | None = None, softmax: str | None = None):
+    """Override kernel tuning at runtime (takes effect on next trace)."""
+    if row_tile is not None:
+        _TUNE["row_tile"] = row_tile or None
+    if softmax is not None:
+        assert softmax in ("safe", "fast"), softmax
+        _TUNE["softmax"] = softmax
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -169,7 +197,20 @@ def fused_block_apply(
         while (s * l) % (sp_factor * l) != 0:
             sp_factor //= 2
         sp = sp_factor * l
-        row_tile = default_row_tile(c, sp)
+        if _TUNE["row_tile"]:
+            # keep the packed-sequence divisibility invariant
+            row_tile = max(sp, _TUNE["row_tile"] // sp * sp)
+        else:
+            row_tile = default_row_tile(c, sp)
+            # Snap to a divisor of the row count when one is close: avoids
+            # the XLA pad+slice copies around every kernel call (2 extra
+            # HBM passes of the activation).
+            m_rows = s * l
+            if m_rows % row_tile:
+                for cand in (1024, 768, 512):
+                    if cand % sp == 0 and m_rows % cand == 0 and cand <= 2 * row_tile:
+                        row_tile = cand
+                        break
         x2 = x.reshape(s * l, c)
         out = _pallas_block(x2, params, l, heads, causal, sp_factor, row_tile)
         return out.reshape(s, l, c)
@@ -218,10 +259,14 @@ def fitted_seq_pack(m: int, l: int, target: int = 32) -> int:
     return sp
 
 
-def _layout_plan(axes: str, dims):
-    """Static plan for the group kernel: per block, which row permutation
-    (as a new->old index vector) re-orders tokens so the attention axis is
-    contiguous, plus the final back-to-canonical permutation.
+def _layout_plan(axes: str, dims, start=("t", "h", "w"), stop=("t", "h", "w")):
+    """Static plan for the group/chain kernels: per block, which row
+    permutation (as a new->old index vector) re-orders tokens so the
+    attention axis is contiguous, plus the final permutation to ``stop``.
+
+    ``start`` is the token order the input ALREADY has (canonical for the
+    whole-model group kernel; the first block's own order for sub-chain
+    fusion, where the XLA rearrange outside the kernel pays that cost once).
 
     Returns (perm_ids, final_id, perms) where perm_ids[i] indexes ``perms``
     (or is None), and perms are distinct permutation index vectors.
@@ -253,12 +298,12 @@ def _layout_plan(axes: str, dims):
         return keys[key]
 
     perm_ids = []
-    cur = ("t", "h", "w")
+    cur = tuple(start)
     for axis in axes:
         dst = _ORDER[axis]
         perm_ids.append(None if dst == cur else intern(cur, dst))
         cur = dst
-    final_id = None if cur == ("t", "h", "w") else intern(cur, ("t", "h", "w"))
+    final_id = None if cur == tuple(stop) else intern(cur, tuple(stop))
     return perm_ids, final_id, perms
 
 
@@ -317,6 +362,9 @@ def _kernel_body(x, p, l, heads, seq_pack, causal):
     mask = (row // l) == (col // l)
     if causal:
         mask = mask & ((row % l) >= (col % l))
+    fast_softmax = _TUNE["softmax"] == "fast"
+    if fast_softmax:
+        mask_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
 
     dn_qk = (((2,), (2,)), ((0,), (0,)))
     dn_av = (((2,), (1,)), ((0,), (0,)))
@@ -326,9 +374,12 @@ def _kernel_body(x, p, l, heads, seq_pack, causal):
         kh = k[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
         vh = v[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
         scores = jax.lax.dot_general(qh, kh, dn_qk, preferred_element_type=jnp.float32)
-        scores = jnp.where(mask[None], scores, -1e30)
-        smax = jnp.max(scores, axis=-1, keepdims=True)
-        unnorm = jnp.exp(scores - smax)
+        if fast_softmax:
+            unnorm = jnp.exp(jnp.minimum(scores + mask_bias[None], 60.0))
+        else:
+            scores = jnp.where(mask[None], scores, -1e30)
+            smax = jnp.max(scores, axis=-1, keepdims=True)
+            unnorm = jnp.exp(scores - smax)
         w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
         ah = jax.lax.dot_general(w, vh, dn_av, preferred_element_type=jnp.float32)
         heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
@@ -433,6 +484,137 @@ def fused_group_apply(x5, params_seq, axes: str, heads: int):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
     )(x2, *p_mats, *stacked)
     return out.reshape(b, t, hp, wp, c)
+
+
+# ---------------------------------------------------------------------------
+# Sub-chain fusion: a RUN of consecutive T/H/W blocks in one kernel, taking
+# input already in the FIRST axis's token order and leaving output in the
+# LAST axis's order.  The XLA rearranges at the run's boundary replace ones
+# the per-block path already paid, so each INTERIOR axis switch trades an
+# HBM-round-trip XLA transpose pair for one in-VMEM permutation matmul
+# (~32 us at m=3072).  Exists because the whole-model group kernel is
+# compile-blocked (docs/PERF.md: 9-block chain >56 min on the axon remote
+# compiler) while short chains compile in tens of seconds.
+# ---------------------------------------------------------------------------
+
+
+def _axis_rows(axis: str, dims):
+    t, h, w = dims
+    return {"T": t, "H": h, "W": w}[axis]
+
+
+def chain_fusable(axes: str, dims, c: int, heads: int, itemsize: int = 2) -> bool:
+    """VMEM feasibility of a sub-chain run (mirrors ``group_fusable``)."""
+    t, h, w = dims
+    m = t * h * w
+    if any(a not in _ORDER for a in axes):
+        return False
+    if c % heads:
+        return False
+    for a in set(axes):
+        if m % _axis_rows(a, dims):
+            return False
+    start = _ORDER[axes[0]]
+    stop = _ORDER[axes[-1]]
+    n_perms = len(_layout_plan(axes, dims, start, stop)[2])
+    return (m * c * itemsize * 8 + n_perms * m * m * itemsize) <= 80 * 2**20
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_chain_apply(x3, params_seq, axes: str, heads: int, dims):
+    """(s, l, c) in ``axes[0]``'s token order -> (s', l', c) in
+    ``axes[-1]``'s order, running every block of ``axes`` (T causal) in one
+    Pallas kernel per batch element.  Off-TPU: identical XLA math."""
+    t, hp, wp = dims
+    m = t * hp * wp
+    s, l, c = x3.shape
+    b = (s * l) // m
+
+    def to5d(y3, axis):
+        if axis == "T":
+            return y3.reshape(b, hp, wp, t, c).transpose(0, 3, 1, 2, 4)
+        if axis == "H":
+            return y3.reshape(b, t, wp, hp, c).transpose(0, 1, 3, 2, 4)
+        return y3.reshape(b, t, hp, wp, c)
+
+    def from5d(x5, axis):
+        if axis == "T":
+            return x5.transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, t, c)
+        if axis == "H":
+            return x5.transpose(0, 1, 3, 2, 4).reshape(b * t * wp, hp, c)
+        return x5.reshape(b * t * hp, wp, c)
+
+    if not _on_tpu():
+        x5 = to5d(x3, axes[0])
+        y5 = _xla_group(x5, tuple(params_seq), axes, heads)
+        return from5d(y5, axes[-1])
+
+    import numpy as np
+
+    x2 = x3.reshape(b * m, c)
+    start = _ORDER[axes[0]]
+    stop = _ORDER[axes[-1]]
+    perm_ids, final_id, perms = _layout_plan(axes, dims, start, stop)
+    p_mats = []
+    for idx in perms:
+        pm = np.zeros((m, m), dtype=np.float32)
+        pm[np.arange(m), idx] = 1.0
+        p_mats.append(jnp.asarray(pm, x3.dtype))
+    stacked = [jnp.stack(arrs) for arrs in zip(*params_seq)]
+    xspec = pl.BlockSpec((m, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _group_kernel, axes, heads, dims, perm_ids, final_id, len(p_mats)
+        ),
+        grid=(b,),
+        in_specs=[xspec]
+        + [wspec(a.shape) for a in p_mats]
+        + [wspec(a.shape) for a in stacked],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b * m, c), x3.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+    )(x2, *p_mats, *stacked)
+    l_out = _axis_rows(axes[-1], dims)
+    return out.reshape(b * m // l_out, l_out, c)
+
+
+def _chain_fwd(x3, params_seq, axes, heads, dims):
+    return fused_chain_apply(x3, params_seq, axes, heads, dims), (x3, params_seq)
+
+
+def _chain_bwd(axes, heads, dims, res, g):
+    x3, params_seq = res
+
+    def ref(a, ps):
+        # gradient recompute always takes the XLA path
+        t, hp, wp = dims
+        m = t * hp * wp
+        s, l, c = a.shape
+        b = (s * l) // m
+        if axes[0] == "T":
+            x5 = a.reshape(b, hp, wp, t, c).transpose(0, 3, 1, 2, 4)
+        elif axes[0] == "H":
+            x5 = a.reshape(b, t, wp, hp, c).transpose(0, 1, 3, 2, 4)
+        else:
+            x5 = a.reshape(b, t, hp, wp, c)
+        y5 = _xla_group(x5, tuple(ps), axes, heads)
+        if axes[-1] == "T":
+            return y5.transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, t, c)
+        if axes[-1] == "H":
+            return y5.transpose(0, 1, 3, 2, 4).reshape(b * t * wp, hp, c)
+        return y5.reshape(b * t * hp, wp, c)
+
+    _, vjp = jax.vjp(ref, x3, tuple(params_seq))
+    return vjp(g)
+
+
+fused_chain_apply.defvjp(_chain_fwd, _chain_bwd)
 
 
 def _group_fwd(x5, params_seq, axes, heads):

@@ -10,6 +10,18 @@ replicated; batch parallelism handles those.
 With ``jit`` + NamedSharding-annotated params, XLA's SPMD partitioner
 inserts the collectives (all-gather / reduce-scatter / psum) over ICI;
 nothing here issues comms by hand.
+
+The comm pattern is asserted STRUCTURALLY, not just numerically: the
+compiled tp=2 TANTE forward contains exactly 2 token-tensor all-reduces
+per transformer block (post attention-out, post MLP-fc2) and zero
+all-gathers/reduce-scatters/collective-permutes
+(``tests/test_parallel.py::test_tp_collective_pattern`` inspects the HLO;
+XLA additionally distributes the three tiny axis-propagator einsum
+contractions, bounded in the same test).  Cost note: tp runs forfeit the
+fused Pallas block kernel (the Trainer clones ``fused_blocks=False``) —
+per block the HLO grows from 1 fused custom-call to ~14 XLA ops, the
+measured ~2x single-chip backbone difference (docs/PERF.md); the tp win
+must amortize that before it pays.
 """
 
 from __future__ import annotations

@@ -287,3 +287,92 @@ def test_fused_group_guard_rejects_bad_geometry():
     assert not group_fusable("TH", (16, 256, 256), 256, 8)
     # Odd-but-divisible geometries stay fusable via fitted_seq_pack.
     assert group_fusable("T", (4, 5, 7), 32, 4)
+
+
+def test_fused_chain_matches_per_block(rng):
+    """Sub-chain fusion (fused_chain_apply): input in the FIRST axis's
+    token order, output in the LAST's, must equal the per-block chain with
+    XLA rearranges between blocks — incl. gradients through the custom VJP.
+    (Opt-in path: measured slower than per-block at the flagship geometry,
+    docs/PERF.md round 3, but kept for geometries with many batch items.)"""
+    import jax
+    import jax.numpy as jnp
+    from einops import rearrange
+
+    from tante_tpu.ops.pallas_block import (
+        BlockParams,
+        _xla_block,
+        chain_fusable,
+        fused_chain_apply,
+    )
+
+    t, h, w, c, heads, b = 4, 8, 12, 64, 4, 2
+    dims = (t, h, w)
+
+    def mk():
+        shapes = [
+            (c,), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,),
+            (c,), (c,), (c, c), (c,), (c, c), (c,),
+        ]
+        return BlockParams(
+            *[jnp.asarray(rng.normal(size=s).astype("float32")) * 0.05 for s in shapes]
+        )
+
+    params = tuple(mk() for _ in range(3))
+    x5 = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype("float32"))
+
+    def per_block(x5):
+        y3 = rearrange(x5, "b t h w c -> (b h w) t c")
+        y3 = _xla_block(y3, params[0], t, heads, True)
+        y5 = rearrange(y3, "(b h w) t c -> b t h w c", b=b, h=h, w=w)
+        y3 = rearrange(y5, "b t h w c -> (b t w) h c")
+        y3 = _xla_block(y3, params[1], h, heads, False)
+        y5 = rearrange(y3, "(b t w) h c -> b t h w c", b=b, t=t, w=w)
+        y3 = rearrange(y5, "b t h w c -> (b t h) w c")
+        return _xla_block(y3, params[2], w, heads, False)
+
+    assert chain_fusable("THW", dims, c, heads, 4)
+    x3 = rearrange(x5, "b t h w c -> (b h w) t c")
+    got = fused_chain_apply(x3, params, "THW", heads, dims)
+    want = per_block(x5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    g_want = jax.grad(lambda a: jnp.sum(per_block(a) ** 2))(x5)
+    g_got = jax.grad(
+        lambda a: jnp.sum(
+            fused_chain_apply(
+                rearrange(a, "b t h w c -> (b h w) t c"), params, "THW", heads, dims
+            )
+            ** 2
+        )
+    )(x5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+def test_patch_dense_matches_conv(rng):
+    """_PatchDense / _PatchDenseTranspose (opt-in space-to-depth conv form)
+    are parameter-compatible and numerically equal to the nn.Conv /
+    nn.ConvTranspose they replace."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from tante_tpu.ops.convs import _PatchDense, _PatchDenseTranspose
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype("float32"))
+    m = _PatchDense(features=7, patch=(2, 2))
+    p = m.init(jax.random.PRNGKey(0), x)
+    conv = nn.Conv(7, (2, 2), strides=(2, 2), padding="VALID")
+    want = conv.apply({"params": dict(p["params"])}, x)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(p, x)), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+    xz = jnp.asarray(rng.normal(size=(2, 4, 6, 7)).astype("float32"))
+    mt = _PatchDenseTranspose(features=5, patch=(2, 2))
+    pt = mt.init(jax.random.PRNGKey(1), xz)
+    tconv = nn.ConvTranspose(5, (2, 2), strides=(2, 2), padding="VALID")
+    want_t = tconv.apply({"params": dict(pt["params"])}, xz)
+    np.testing.assert_allclose(
+        np.asarray(mt.apply(pt, xz)), np.asarray(want_t), atol=1e-5, rtol=1e-5
+    )
