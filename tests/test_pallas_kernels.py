@@ -306,7 +306,7 @@ def test_fused_chain_matches_per_block(rng):
         fused_chain_apply,
     )
 
-    t, h, w, c, heads, b = 4, 8, 12, 64, 4, 2
+    t, h, w, c, heads, b = 2, 4, 6, 32, 4, 1
     dims = (t, h, w)
 
     def mk():
