@@ -94,6 +94,10 @@ def kernel_body(x, p, seq_pack, flags):
                 smax = jnp.max(scores, axis=-1, keepdims=True)
                 unnorm = jnp.exp(scores - smax)
                 w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
+            elif "softmax_fast" in flags:
+                bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+                unnorm = jnp.exp(jnp.minimum(scores + bias[None], 60.0))
+                w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
             elif "softmax_nomax" in flags:
                 bias = jnp.where(mask[None], 0.0, -1e30)
                 unnorm = jnp.exp(scores + bias)
@@ -102,12 +106,27 @@ def kernel_body(x, p, seq_pack, flags):
                 w = scores.astype(x.dtype)
             ah = jax.lax.dot_general(w, vh, dn_av, preferred_element_type=jnp.float32)
             heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
-        attn = jnp.concatenate(heads_out, axis=1)
+        if "split_wo" in flags:
+            # Skip the lane concat: accumulate sum_h ah @ wo[hd:(h+1)d, :].
+            acc = None
+            for h, ah in enumerate(heads_out):
+                part = jax.lax.dot_general(
+                    ah,
+                    p.wo[h * d : (h + 1) * d, :],
+                    dn2,
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+            x = x + (acc + p.bo).astype(x.dtype)
+            attn = None
+        else:
+            attn = jnp.concatenate(heads_out, axis=1)
     else:
         attn = v
 
-    out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
-    x = x + (out + p.bo).astype(x.dtype)
+    if attn is not None:
+        out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
+        x = x + (out + p.bo).astype(x.dtype)
 
     if "ln" in flags:
         yn = _ln(x, p.ln2_scale, p.ln2_bias)
@@ -214,6 +233,29 @@ def main():
         )
 
     time_variant("shipped _pallas_block", shipped, x2, params, probe)
+
+    # (seq_pack x row_tile) sweep at the shipped math (fast softmax), plus
+    # the split-wo (no head concat) variant at the best tile.
+    full_fast = frozenset({"ln", "attn", "softmax_fast", "gelu"})
+    for sp_factor in (4, 8, 16, 32):
+        for rt in (512, 1024, 2048):
+            if rt % (sp_factor * L) or M % rt:
+                continue
+            name = f"fast sp={sp_factor*L:3d} rt={rt}"
+            try:
+                time_variant(
+                    name, build_variant(full_fast, sp_factor, rt), x2, params, probe
+                )
+            except Exception as e:
+                print(f"{name:38s} FAILED: {str(e)[:100]}", flush=True)
+    for name, flags, spf, rt in [
+        ("split_wo sp=32 rt=1024", full_fast | {"split_wo"}, 8, 1024),
+        ("no-ln fast sp=32 rt=1024", frozenset({"attn", "softmax_fast", "gelu"}), 8, 1024),
+    ]:
+        try:
+            time_variant(name, build_variant(flags, spf, rt), x2, params, probe)
+        except Exception as e:
+            print(f"{name:38s} FAILED: {str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

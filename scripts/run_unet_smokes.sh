@@ -12,8 +12,8 @@ ROOT=${2:-/tmp/smoke_exp}
 cd /root/repo
 
 common="data.base_path=$WELL data.dataset_name=synthetic_waves \
-  data.batch_size=2 data.n_steps_output=1 data.eval_steps_output=2 data.data_workers=2 \
-  trainer.max_epoch=2 trainer.n_steps_output=1 trainer.n_steps_rollout=2 \
+  data.batch_size=2 data.n_steps_output=2 data.eval_steps_output=4 data.data_workers=2 \
+  trainer.max_epoch=2 trainer.n_steps_output=2 trainer.n_steps_rollout=4 \
   root_path=$ROOT"
 
 run_leg () {

@@ -115,16 +115,21 @@ def _kernel(
 
 
 def default_seq_pack(l: int) -> int:
-    """Pack short sequences so the score matrix is ~32 wide (swept on v5e:
-    seq_pack=8 at L=4 gives 0.29 ms vs 0.88 at seq_pack=32-row tiles)."""
-    return max(1, 32 // l) if l < 32 else 1
+    """Pack short sequences so the score matrix is ~128 wide — full MXU
+    column width.  Re-swept on v5e under bf16 activations (round 3,
+    scripts/profile_block_kernel.py): sp=128 runs 0.320 ms/block vs 0.348
+    at the old sp=32 target (which had been tuned in the f32-promotion
+    era)."""
+    return max(1, 128 // l) if l < 128 else 1
 
 
 def default_row_tile(c: int, sp: int) -> int:
-    """Row-tile heuristic from the v5e sweep: ~940 rows at C=256 was the
-    optimum; scale inversely with the (lane-padded) channel width."""
-    per_m_row = 6 * max(c, 128) * 4 + max(sp, 128) * 4
-    budget = 6 * 2**20
+    """Row-tile heuristic, re-swept under bf16 (round 3): bigger tiles won
+    at every seq_pack (rt=2048 beat 1024/512 across the sweep) — the VMEM
+    working set halved when the f32 promotion was fixed, so the old ~940
+    optimum is stale.  Scale inversely with channel width past 256."""
+    per_m_row = 6 * max(c, 128) * 2 + max(sp, 128) * 2
+    budget = 7 * 2**20
     return max(sp, min(4096, budget // per_m_row // sp * sp))
 
 
@@ -147,6 +152,10 @@ def _pallas_block(x2, params: BlockParams, l, heads, causal, seq_pack, row_tile)
         in_specs=[xspec] + [wspec(a.shape) for a in params],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((m_pad, c), x2.dtype),
+        # The round-3 tiles (row_tile 2048, sp 128) put the double-buffered
+        # working set just over Mosaic's 16 MB default scoped-VMEM limit
+        # (18.5 MB measured); v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
     )(x2, *params)
     return out[:m_total]
 
@@ -207,7 +216,7 @@ def fused_block_apply(
             # HBM passes of the activation).
             m_rows = s * l
             if m_rows % row_tile:
-                for cand in (1024, 768, 512):
+                for cand in (2048, 1536, 1024, 768, 512):
                     if cand % sp == 0 and m_rows % cand == 0 and cand <= 2 * row_tile:
                         row_tile = cand
                         break
