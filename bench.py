@@ -30,6 +30,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compiled-executable cache: the rollout jit is a multi-minute
+# cold compile on the tunneled remote compiler; with the cache warm (any
+# prior run at this geometry on this host) it loads in seconds.
+try:
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 
 def _baseline_fps() -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")

@@ -208,9 +208,23 @@ class AttnBackbone(nn.Module):
                 name=f"block_{i}",
             )
             if axis == "T":
-                y = rearrange(x, "b t h w c -> (b h w) t c")
-                y = block(y, causal=True, deterministic=deterministic)
-                x = rearrange(y, "(b h w) t c -> b t h w c", b=b, h=h, w=w)
+                from tante_tpu.ops.pallas_block import (
+                    canon_t_supported,
+                    fused_block_canon_t,
+                )
+
+                if (
+                    self.fused
+                    and (deterministic or self.dropout == 0.0)
+                    and canon_t_supported(t, h, w, c, self.n_head)
+                ):
+                    # Canonical-layout T kernel: no (b h w) t rearrange on
+                    # either side (ops/pallas_block.py:fused_block_canon_t).
+                    x = fused_block_canon_t(x, block.block_params(), self.n_head)
+                else:
+                    y = rearrange(x, "b t h w c -> (b h w) t c")
+                    y = block(y, causal=True, deterministic=deterministic)
+                    x = rearrange(y, "(b h w) t c -> b t h w c", b=b, h=h, w=w)
             elif axis == "H":
                 y = rearrange(x, "b t h w c -> (b t w) h c")
                 y = block(y, deterministic=deterministic)

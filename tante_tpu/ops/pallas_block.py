@@ -111,7 +111,7 @@ def _kernel(
 ):
     p = BlockParams(*[r[:] for r in refs[:-1]])
     o_ref = refs[-1]
-    o_ref[:] = _kernel_body(x_ref[:], p, l, heads, seq_pack, causal)
+    o_ref[:] = _kernel_body(x_ref[:], p, l, heads, seq_pack, causal, q_prescaled=True)
 
 
 def default_seq_pack(l: int) -> int:
@@ -135,6 +135,14 @@ def default_row_tile(c: int, sp: int) -> int:
 
 def _pallas_block(x2, params: BlockParams, l, heads, causal, seq_pack, row_tile):
     m_total, c = x2.shape
+    # Fold the attention scale AND log2(e) into wq/bq (one (c, c) elementwise
+    # op per kernel LAUNCH, not per row tile): the kernel then skips the
+    # per-element q scale and uses the native exp2 in the softmax.
+    qs = (c // heads) ** -0.5 * _LOG2E
+    params = params._replace(
+        wq=(params.wq.astype(jnp.float32) * qs).astype(params.wq.dtype),
+        bq=(params.bq.astype(jnp.float32) * qs).astype(params.bq.dtype),
+    )
     m_pad = (m_total + row_tile - 1) // row_tile * row_tile
     if m_pad != m_total:
         x2 = jnp.pad(x2, ((0, m_pad - m_total), (0, 0)))
@@ -237,6 +245,164 @@ def _bwd(l, heads, causal, res, g):
 
 
 fused_block_apply.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-layout T-axis block: the whole block on (B, T, H, W, C) tensors
+# with NO rearrange/transpose on either side.
+#
+# The T axis is short (in_T, typically 4) and causal.  Instead of packing
+# T-sequences into a masked score matrix (which first requires an XLA
+# transpose to (b h w) t order — ~2 HBM round-trips per T block at the
+# flagship geometry), the kernel takes one FULL batch element
+# (T*H*W, C) as its tile (a fully contiguous HBM slice) and computes
+# causal attention by ROLLING k/v down by delta * (H*W) rows for
+# delta = 0..T-1: row i's delta-step-back key lives exactly H*W*delta rows
+# above it in canonical order.  Per-head score reduction and the
+# head-broadcast both ride tiny (C, heads) matmuls, so no (sp, sp) score
+# matrix is materialized at all.  Measured (scripts/canon_block_proto.py,
+# v5e): 0.299 ms/block vs 0.334 for the packed kernel BEFORE its two
+# layout transposes; the 9-block THWTHWTHW chain drops 3.21 -> 2.70 ms.
+# ---------------------------------------------------------------------------
+
+
+def _roll_body(x, p, l, heads, stride):
+    """Causal T-attention block on (M, C) canonical rows via rolled k/v.
+
+    ``stride`` = rows per time step (H*W); q arrives prescaled (log2
+    units, see ``_kernel_body``).  Mosaic's rotate supports 32-bit lanes
+    only, so k/v roll as f32 (they are consumed in f32 immediately).
+    """
+    m_rows = x.shape[0]
+    c = x.shape[-1]
+    d = c // heads
+    dn2 = (((1,), (0,)), ((), ()))
+
+    xn = _ln(x, p.ln1_scale, p.ln1_bias)
+
+    def proj(w, b):
+        y = jax.lax.dot_general(xn, w, dn2, preferred_element_type=jnp.float32)
+        return (y + b).astype(x.dtype)
+
+    q = proj(p.wq, p.bq)
+    k = proj(p.wk, p.bk)
+    v = proj(p.wv, p.bv)
+
+    # (C, heads) head-segment indicator: one matmul sums each head's lane
+    # segment (scores), its transpose broadcasts per-head scalars back.
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    )
+    S = seg.astype(jnp.float32)
+    St = S.T
+    t_of_row = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 1), 0) // stride
+    clamp = 60.0 * _LOG2E
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    denom = None
+    acc = None
+    from jax.experimental.pallas import tpu as _pltpu
+
+    for delta in range(l):
+        kd = _pltpu.roll(kf, delta * stride, 0) if delta else kf
+        vd = _pltpu.roll(vf, delta * stride, 0) if delta else vf
+        s_d = jax.lax.dot_general(qf * kd, S, dn2, preferred_element_type=jnp.float32)
+        bias = jnp.where(t_of_row >= delta, 0.0, -1e30)
+        e_d = jax.lax.exp2(jnp.minimum(s_d + bias, clamp))  # (M, heads)
+        ef = jax.lax.dot_general(e_d, St, dn2, preferred_element_type=jnp.float32)
+        term = ef * vd
+        denom = e_d if denom is None else denom + e_d
+        acc = term if acc is None else acc + term
+    rec = jax.lax.dot_general(1.0 / denom, St, dn2, preferred_element_type=jnp.float32)
+    attn = (acc * rec).astype(x.dtype)
+
+    out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
+    x = x + (out + p.bo).astype(x.dtype)
+    yn = _ln(x, p.ln2_scale, p.ln2_bias)
+    h1 = jax.lax.dot_general(yn, p.w1, dn2, preferred_element_type=jnp.float32)
+    h1 = _gelu_tanh_f32(h1 + p.b1).astype(x.dtype)
+    h2 = jax.lax.dot_general(h1, p.w2, dn2, preferred_element_type=jnp.float32)
+    return x + (h2 + p.b2).astype(x.dtype)
+
+
+def canon_t_supported(t: int, h: int, w: int, c: int, heads: int, itemsize: int = 2):
+    """Geometry gate for the canonical T-block kernel."""
+    if os.environ.get("TANTE_CANON_T", "1") != "1":
+        return False
+    if t < 2 or t > 8 or c % heads or c % 128:
+        return False
+    m = t * h * w
+    # f32 q/k/v + rolled copies + accumulators: ~8 f32 M x C buffers.
+    return m * c * 4 * 8 <= 44 * 2**20
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_block_canon_t(x5, params, heads: int):
+    """(B, T, H, W, C) -> same: one causal T-axis transformer block applied
+    directly on the canonical tensor (no rearrange on either side).
+
+    Pallas roll-kernel on TPU; identical XLA math (transpose + `_xla_block`
+    + transpose back) elsewhere and for gradients.
+    """
+    b, t, h, w, c = x5.shape
+    if not _on_tpu():
+        y = x5.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        y = _xla_block(y, params, t, heads, True)
+        return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+    qs = (c // heads) ** -0.5 * _LOG2E
+    params = params._replace(
+        wq=(params.wq.astype(jnp.float32) * qs).astype(params.wq.dtype),
+        bq=(params.bq.astype(jnp.float32) * qs).astype(params.bq.dtype),
+    )
+    rows = t * h * w
+
+    def kern(x_ref, *refs):
+        p = BlockParams(*[r[:] for r in refs[:-1]])
+        o_ref = refs[-1]
+        y = _roll_body(x_ref[0].reshape(rows, c), p, t, heads, h * w)
+        o_ref[0] = y.reshape(t, h, w, c)
+
+    xspec = pl.BlockSpec(
+        (1, t, h, w, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[xspec] + [wspec(a.shape) for a in params],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x5.shape, x5.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(x5, *params)
+
+
+def _canon_t_fwd(x5, params, heads):
+    return fused_block_canon_t(x5, params, heads), (x5, params)
+
+
+def _canon_t_bwd(heads, res, g):
+    x5, params = res
+
+    def ref(a, p):
+        b, t, h, w, c = a.shape
+        y = a.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        y = _xla_block(y, p, t, heads, True)
+        return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+    _, vjp = jax.vjp(ref, x5, params)
+    return vjp(g)
+
+
+fused_block_canon_t.defvjp(_canon_t_fwd, _canon_t_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -346,9 +512,19 @@ def _group_kernel(axes, heads, dims, perm_ids, final_id, n_perms, x_ref, *refs):
     o_ref[:] = x
 
 
-def _kernel_body(x, p, l, heads, seq_pack, causal):
+_LOG2E = 1.4426950408889634
+
+
+def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
     """One block's math on an (M, C) VMEM tensor. Same formulation as
-    ``_kernel``; returns the block output."""
+    ``_kernel``; returns the block output.
+
+    ``q_prescaled``: the caller already folded ``d**-0.5 * log2(e)`` into
+    ``wq``/``bq`` (see ``_pallas_block``), so scores arrive in log2 units —
+    the softmax exp becomes the native ``exp2`` and the per-q-element scale
+    multiply disappears.  Mathematically identical: softmax(s) ==
+    2^(s*log2e) / sum(2^(s*log2e)).
+    """
     m_rows = x.shape[0]
     c = x.shape[-1]
     d = c // heads
@@ -362,7 +538,9 @@ def _kernel_body(x, p, l, heads, seq_pack, causal):
         y = jax.lax.dot_general(xn, w, dn2, preferred_element_type=jnp.float32)
         return (y + b).astype(x.dtype)
 
-    q = proj(p.wq, p.bq) * (d**-0.5)
+    q = proj(p.wq, p.bq)
+    if not q_prescaled:
+        q = q * (d**-0.5)
     k = proj(p.wk, p.bk)
     v = proj(p.wv, p.bv)
 
@@ -374,6 +552,10 @@ def _kernel_body(x, p, l, heads, seq_pack, causal):
     fast_softmax = _TUNE["softmax"] == "fast"
     if fast_softmax:
         mask_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    # Clamp keeping exp finite: e^60 in natural units, 2^86.56 in log2 units.
+    exp_fn, clamp = (
+        (jax.lax.exp2, 60.0 * _LOG2E) if q_prescaled else (jnp.exp, 60.0)
+    )
 
     dn_qk = (((2,), (2,)), ((0,), (0,)))
     dn_av = (((2,), (1,)), ((0,), (0,)))
@@ -384,13 +566,18 @@ def _kernel_body(x, p, l, heads, seq_pack, causal):
         vh = v[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
         scores = jax.lax.dot_general(qh, kh, dn_qk, preferred_element_type=jnp.float32)
         if fast_softmax:
-            unnorm = jnp.exp(jnp.minimum(scores + mask_bias[None], 60.0))
+            unnorm = exp_fn(jnp.minimum(scores + mask_bias[None], clamp))
         else:
             scores = jnp.where(mask[None], scores, -1e30)
             smax = jnp.max(scores, axis=-1, keepdims=True)
-            unnorm = jnp.exp(scores - smax)
-        w = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)).astype(x.dtype)
-        ah = jax.lax.dot_general(w, vh, dn_av, preferred_element_type=jnp.float32)
+            unnorm = exp_fn(scores - smax)
+        # Normalize AFTER the AV matmul: the divide shrinks from (sp, sp) to
+        # (sp, d) — 4x fewer elements at d=32 — and becomes one reciprocal +
+        # broadcast multiply.  Same math: (U/r) @ V == (U @ V) / r row-wise.
+        w_un = unnorm.astype(x.dtype)
+        recip = 1.0 / jnp.sum(unnorm, axis=-1, keepdims=True)
+        ah = jax.lax.dot_general(w_un, vh, dn_av, preferred_element_type=jnp.float32)
+        ah = ah * recip
         heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
     attn = jnp.concatenate(heads_out, axis=1)
 

@@ -376,3 +376,50 @@ def test_patch_dense_matches_conv(rng):
     np.testing.assert_allclose(
         np.asarray(mt.apply(pt, xz)), np.asarray(want_t), atol=1e-5, rtol=1e-5
     )
+
+
+def test_canon_t_block_cpu_fallback_and_grads():
+    """fused_block_canon_t off-TPU must equal the rearrange + _xla_block
+    path bit-for-bit, and its custom VJP must match that path's grads."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tante_tpu.ops.pallas_block import (
+        BlockParams,
+        _xla_block,
+        canon_t_supported,
+        fused_block_canon_t,
+    )
+
+    b, t, h, w, c, heads = 2, 4, 4, 8, 32, 4
+    rng = np.random.default_rng(3)
+    x5 = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32))
+    params = BlockParams(
+        *[
+            jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.05)
+            for shape in [
+                (c,), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,),
+                (c,), (c,), (c, c), (c,), (c, c), (c,),
+            ]
+        ]
+    )
+
+    def ref(a, p):
+        y = a.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        y = _xla_block(y, p, t, heads, True)
+        return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+    got = fused_block_canon_t(x5, params, heads)
+    want = ref(x5, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0, rtol=0)
+
+    g_got = jax.grad(lambda a: jnp.sum(fused_block_canon_t(a, params, heads) ** 2))(x5)
+    g_want = jax.grad(lambda a: jnp.sum(ref(a, params) ** 2))(x5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-6, atol=1e-6)
+
+    # Geometry gates: flagship passes, non-128-lane and long-T fail.
+    assert canon_t_supported(4, 16, 48, 256, 8)
+    assert not canon_t_supported(4, 16, 48, 96, 8)   # c % 128
+    assert not canon_t_supported(16, 16, 48, 256, 8)  # t too long

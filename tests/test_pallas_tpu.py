@@ -97,3 +97,35 @@ def test_spectral_mode_matmul_matches_xla_on_tpu():
     got_re, got_im = jax.jit(spectral_mode_matmul)(x_re, x_im, w_re, w_im)
     np.testing.assert_allclose(np.asarray(got_re), np.asarray(want_re), atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im), atol=2e-3)
+
+
+def test_canon_t_block_matches_xla_on_tpu():
+    """Canonical-layout T-axis roll kernel (ops/pallas_block.py:
+    fused_block_canon_t) vs the rearrange + _xla_block reference, on chip,
+    at the flagship geometry."""
+    from tante_tpu.ops.pallas_block import BlockParams, _xla_block, fused_block_canon_t
+
+    b, t, h, w, c, heads = 2, 4, 16, 48, 256, 8
+    rng = np.random.default_rng(7)
+    x5 = jnp.asarray(rng.normal(size=(b, t, h, w, c)).astype(np.float32), jnp.bfloat16)
+    params = BlockParams(
+        *[
+            jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.05, jnp.bfloat16)
+            for shape in [
+                (c,), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,),
+                (c,), (c,), (c, c), (c,), (c, c), (c,),
+            ]
+        ]
+    )
+    got = jax.jit(lambda a, p: fused_block_canon_t(a, p, heads))(x5, params)
+
+    def ref(a, p):
+        y = a.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        y = _xla_block(y, p, t, heads, True)
+        return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+    want = jax.jit(ref)(x5, params)
+    got32 = np.asarray(got, np.float32)
+    want32 = np.asarray(want, np.float32)
+    np.testing.assert_allclose(got32, want32, atol=0.05, rtol=0.02)
+    assert float(np.mean(np.abs(got32 - want32))) < 5e-3
