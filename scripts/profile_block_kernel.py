@@ -35,7 +35,10 @@ from tante_tpu.ops.pallas_block import (
 )
 
 # Flagship T-axis geometry: B=8, T=4, Hp=16, Wp=48, C=256 -> rows 24576.
-M, C, L, HEADS = 24576, 256, 4, 8
+import os as _os
+M, C, HEADS = 24576, 256, 8
+L = int(_os.environ.get("PBK_L", "4"))
+CAUSAL = L == 4
 DTYPE = jnp.bfloat16
 ITERS = 500
 
@@ -78,7 +81,8 @@ def kernel_body(x, p, seq_pack, flags):
         row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
         mask = (row // L) == (col // L)
-        mask = mask & ((row % L) >= (col % L))  # causal T axis
+        if CAUSAL:
+            mask = mask & ((row % L) >= (col % L))  # causal T axis
         dn_qk = (((2,), (2,)), ((0,), (0,)))
         dn_av = (((2,), (1,)), ((0,), (0,)))
         heads_out = []
@@ -218,6 +222,8 @@ def main():
         ("no-attn (v passthrough)", frozenset({"ln", "gelu"})),
         ("matmuls-only", frozenset()),
     ]
+    if _os.environ.get("PBK_SWEEP_ONLY"):
+        variants = variants[:1]
     for name, flags in variants:
         try:
             time_variant(name, build_variant(flags), x2, params, probe)
@@ -229,7 +235,7 @@ def main():
 
     def shipped(x2, params):
         return _pallas_block(
-            x2, params, L, HEADS, True, default_seq_pack(L), default_row_tile(C, 32)
+            x2, params, L, HEADS, CAUSAL, default_seq_pack(L), default_row_tile(C, 32)
         )
 
     time_variant("shipped _pallas_block", shipped, x2, params, probe)
@@ -237,8 +243,9 @@ def main():
     # (seq_pack x row_tile) sweep at the shipped math (fast softmax), plus
     # the split-wo (no head concat) variant at the best tile.
     full_fast = frozenset({"ln", "attn", "softmax_fast", "gelu"})
-    for sp_factor in (4, 8, 16, 32):
-        for rt in (512, 1024, 2048):
+    sp_opts = {4: (8, 16, 32), 16: (2, 4, 8), 48: (1, 2, 4)}[L]
+    for sp_factor in sp_opts:
+        for rt in (768, 1024, 1536, 2048):
             if rt % (sp_factor * L) or M % rt:
                 continue
             name = f"fast sp={sp_factor*L:3d} rt={rt}"
@@ -248,10 +255,11 @@ def main():
                 )
             except Exception as e:
                 print(f"{name:38s} FAILED: {str(e)[:100]}", flush=True)
-    for name, flags, spf, rt in [
+    extras = [] if _os.environ.get("PBK_SWEEP_ONLY") else [
         ("split_wo sp=32 rt=1024", full_fast | {"split_wo"}, 8, 1024),
         ("no-ln fast sp=32 rt=1024", frozenset({"attn", "softmax_fast", "gelu"}), 8, 1024),
-    ]:
+    ]
+    for name, flags, spf, rt in extras:
         try:
             time_variant(name, build_variant(flags, spf, rt), x2, params, probe)
         except Exception as e:

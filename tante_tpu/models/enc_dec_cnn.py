@@ -38,11 +38,17 @@ class EncCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed_in: bool = False) -> jnp.ndarray:
+        """packed_in: x is ``pack_patches(frames, p[0])`` — stage 1 becomes
+        one dense matmul (no conv, no space-to-depth).  Used by the latent
+        rollout so the decode->encode round trip never materializes the
+        physical-layout frame (docs/PERF.md round 3)."""
         p = PATCH_MAP[self.patch_scale]
         b, t = x.shape[0], x.shape[1]
         z = x.reshape(b * t, *x.shape[2:])  # (B*T, H, W, C)
-        z = RealConv2d(self.embed_dim // 4, p[0], self.overlap_ratio, dtype=self.dtype)(z)
+        z = RealConv2d(self.embed_dim // 4, p[0], self.overlap_ratio, dtype=self.dtype)(
+            z, packed_in=packed_in
+        )
         z = nn.gelu(z, approximate=False)
         z = RealConv2d(self.embed_dim // 2, p[1], self.overlap_ratio, dtype=self.dtype)(z)
         z = nn.gelu(z, approximate=False)
@@ -58,7 +64,10 @@ class DecCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed_out: bool = False) -> jnp.ndarray:
+        """packed_out: return ``pack_patches(frames, p[0])`` instead of the
+        physical frame — the final depth-to-space is skipped (inverse of
+        ``EncCNN(packed_in=True)``)."""
         p = PATCH_MAP[self.patch_scale]
         out_channels = self.dset_metadata.n_fields if self.dset_metadata else 4
         b, t = x.shape[0], x.shape[1]
@@ -67,5 +76,7 @@ class DecCNN(nn.Module):
         z = nn.gelu(z, approximate=False)
         z = RealTransConv2d(self.embed_dim // 4, p[1], self.overlap_ratio, dtype=self.dtype)(z)
         z = nn.gelu(z, approximate=False)
-        z = RealTransConv2d(out_channels, p[0], self.overlap_ratio, dtype=self.dtype)(z)
+        z = RealTransConv2d(out_channels, p[0], self.overlap_ratio, dtype=self.dtype)(
+            z, packed_out=packed_out
+        )
         return z.reshape(b, t, *z.shape[1:])  # (B, T, H, W, C_out)

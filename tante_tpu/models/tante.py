@@ -195,13 +195,30 @@ class TANTE(nn.Module):
         """Static frame-slot count for adaptive calls with budget out_T."""
         return max(1, int(math.floor(out_T + 1e-3)))
 
-    def encode(self, inputs: jnp.ndarray) -> jnp.ndarray:
+    def packed_io_ok(self) -> bool:
+        """Whether this model supports the packed-frame fast path: the CNN
+        enc/dec boundary patch is a clean space-to-depth (stride == patch,
+        no padding), so physical frames can stay in ``pack_patches`` layout
+        across a decode -> encode round trip (latent rollouts)."""
+        from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+        from tante_tpu.ops.convs import packed_patch_ok
+
+        return self.enc_dec_type == "cnn" and packed_patch_ok(
+            PATCH_MAP[self.patch_scale][0], self.overlap_ratio
+        )
+
+    def encode(self, inputs: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
         """Per-frame latent encoding: (B, K, H, W, C) -> (B, K, H_p, W_p, C).
 
         Frames are encoded independently (the encoder folds time into the
         batch axis), so rollouts can cache latents and encode only the new
         frame per call (``train/rollout.py:rollout_tante_latent``).
+
+        packed: inputs are already in ``pack_patches(frames, p0)`` layout —
+        valid only when ``packed_io_ok()`` (the caller gates).
         """
+        if packed:
+            return self.encoder(inputs, packed_in=True)
         return self.encoder(inputs)
 
     def head(
@@ -210,18 +227,26 @@ class TANTE(nn.Module):
         u_last: jnp.ndarray,
         out_T: float = 1,
         deterministic: bool = True,
+        packed: bool = False,
     ):
         """Backbone + Taylor prediction from cached latents.
 
         latents: (B, T, H_p, W_p, C); u_last: (B, 1, H, W, C_phys) — the
         physical last frame (the Taylor expansion point u(0)).
+
+        packed: decoders emit ``pack_patches`` frames and ``u_last`` must
+        arrive packed — the Taylor combination is elementwise, so it is
+        layout-invariant (gate with ``packed_io_ok()``).
         """
         x = self.t_encode(latents, self.t_seq)
-        # Add the (f32-stored) embeddings without promoting the activation:
-        # the sums run in f32 for precision, then drop back to the compute
-        # dtype once (the backbone re-asserts it defensively as well).
-        x = x + self.s_emb  # (1, H_p, W_p, C) broadcasts over (B, T)
-        x = (x + self.t_emb[:, :, None, None, :]).astype(self.dtype)
+        # Add the (f32-stored) embeddings in the COMPUTE dtype: promoting the
+        # (B, T, H_p, W_p, C) activation to f32 for these two adds costs a
+        # measured 0.30 ms/call at the bench geometry (device trace: the
+        # convert-add-convert fusion materializes 25 MB f32 intermediates),
+        # while the embeddings are O(1)-scaled so the bf16 rounding of the
+        # sum is the same order as the backbone's own bf16 arithmetic.
+        x = x + self.s_emb.astype(self.dtype)  # (1, H_p, W_p, C) broadcast
+        x = x + self.t_emb[:, :, None, None, :].astype(self.dtype)
 
         derivatives = []
         r_ts = []
@@ -236,7 +261,10 @@ class TANTE(nn.Module):
                 derivative = rearrange(
                     tokens, "b (h w) c -> b 1 h w c", h=self.H_p, w=self.W_p
                 )
-            derivatives.append(self.decoders[i](derivative))  # (B, 1, H, W, C_out)
+            if packed:
+                derivatives.append(self.decoders[i](derivative, packed_out=True))
+            else:
+                derivatives.append(self.decoders[i](derivative))  # (B, 1, H, W, C_out)
 
         n_out = self.output_length if self.deg else self.n_frames(out_T)
         derivs = jnp.concatenate(derivatives, axis=1)  # (B, K, H, W, C_out)

@@ -37,6 +37,39 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def pack_patches(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Space-to-depth: (..., H, W, C) -> (..., H/p, W/p, p*p*C).
+
+    Channel order of the packed dim is (patch-row, patch-col, channel) —
+    exactly the (kh, kw, ci) flattening of an HWIO conv kernel, so a
+    non-overlapping stride-p pxp conv on x equals ``pack_patches(x, p) @
+    kernel.reshape(p*p*ci, co)``.
+    """
+    h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+    lead = x.shape[:-3]
+    z = x.reshape(*lead, h // p, p, w // p, p, c)
+    nd = z.ndim
+    z = z.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return z.reshape(*lead, h // p, w // p, p * p * c)
+
+
+def packed_patch_ok(p: int, overlap_ratio: float) -> bool:
+    """Whether a pxp patch conv is a clean space-to-depth + dense (stride ==
+    patch, zero symmetric padding) so the packed fast paths apply."""
+    return overlap_ratio == 0.0 and (p - 1) // 2 == 0 and p > 1
+
+
+def unpack_patches(z: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Depth-to-space inverse of ``pack_patches``."""
+    hp, wp, pc = z.shape[-3], z.shape[-2], z.shape[-1]
+    c = pc // (p * p)
+    lead = z.shape[:-3]
+    y = z.reshape(*lead, hp, wp, p, p, c)
+    nd = y.ndim
+    y = y.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+    return y.reshape(*lead, hp * p, wp * p, c)
+
+
 def _stride(p: int, overlap_ratio: float) -> int:
     return max(1, int(round(p * (1.0 - overlap_ratio))))
 
@@ -53,19 +86,28 @@ class _PatchDense(nn.Module):
     patch: Tuple[int, int]
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Input already packed ((..., H/p, W/p, p*p*c_in), pack_patches order):
+    # skip the space-to-depth and go straight to the matmul.
+    packed_in: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p_h, p_w = self.patch
-        h, w, c_in = x.shape[-3], x.shape[-2], x.shape[-1]
+        if self.packed_in:
+            c_in = x.shape[-1] // (p_h * p_w)
+            z = x
+        else:
+            h, w, c_in = x.shape[-3], x.shape[-2], x.shape[-1]
+            z = pack_patches(x, p_h) if p_h == p_w else None
+            if z is None:
+                lead = x.shape[:-3]
+                z = x.reshape(*lead, h // p_h, p_h, w // p_w, p_w, c_in)
+                nd = z.ndim
+                z = z.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
+                z = z.reshape(*lead, h // p_h, w // p_w, p_h * p_w * c_in)
         kernel = self.param(
             "kernel", torch_kernel_init, (p_h, p_w, c_in, self.features)
         )
-        lead = x.shape[:-3]
-        z = x.reshape(*lead, h // p_h, p_h, w // p_w, p_w, c_in)
-        nd = z.ndim
-        z = z.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
-        z = z.reshape(*lead, h // p_h, w // p_w, p_h * p_w * c_in)
         wmat = kernel.reshape(p_h * p_w * c_in, self.features)
         y = z.astype(self.dtype) @ wmat.astype(self.dtype)
         if self.use_bias:
@@ -87,6 +129,10 @@ class _PatchDenseTranspose(nn.Module):
     patch: Tuple[int, int]
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Return the packed (..., H, W, p*p*features) tensor (pack_patches
+    # order) WITHOUT the depth-to-space — the inverse of _PatchDense's
+    # packed_in, so a decode->encode round trip can stay packed.
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -103,15 +149,22 @@ class _PatchDenseTranspose(nn.Module):
             c_in, p_h * p_w * self.features
         )
         y = x.astype(self.dtype) @ wmat.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
+            )
+        else:
+            bias = None
+        if self.packed_out:
+            if bias is not None:
+                y = y + jnp.tile(bias.astype(self.dtype), p_h * p_w)
+            return y
         lead = x.shape[:-3]
         y = y.reshape(*lead, h, w, p_h, p_w, self.features)
         nd = y.ndim
         y = y.transpose(*range(nd - 5), nd - 5, nd - 3, nd - 4, nd - 2, nd - 1)
         y = y.reshape(*lead, h * p_h, w * p_w, self.features)
-        if self.use_bias:
-            bias = self.param(
-                "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
-            )
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
@@ -127,10 +180,23 @@ class RealConv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed_in: bool = False) -> jnp.ndarray:
         p_h, p_w = _pair(self.patch_size)
         s_h, s_w = _stride(p_h, self.overlap_ratio), _stride(p_w, self.overlap_ratio)
         pad_h, pad_w = (p_h - 1) // 2, (p_w - 1) // 2
+        if packed_in:
+            # Input is pack_patches(x, p): the conv is exactly one dense
+            # matmul (valid only for the clean stride==patch, pad-0 case —
+            # callers gate on ``packed_patch_ok``).
+            assert (s_h, s_w) == (p_h, p_w) and (pad_h, pad_w) == (0, 0)
+            return _PatchDense(
+                features=self.out_channels,
+                patch=(p_h, p_w),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                packed_in=True,
+                name="Conv_0",
+            )(x)
         h, w = x.shape[-3], x.shape[-2]
         c_in = x.shape[-1]
         if (
@@ -180,10 +246,20 @@ class RealTransConv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, packed_out: bool = False) -> jnp.ndarray:
         p_h, p_w = _pair(self.patch_size)
         s_h, s_w = _stride(p_h, self.overlap_ratio), _stride(p_w, self.overlap_ratio)
         pad_h, pad_w = (p_h - 1) // 2, (p_w - 1) // 2
+        if packed_out:
+            assert (s_h, s_w) == (p_h, p_w) and (pad_h, pad_w) == (0, 0)
+            return _PatchDenseTranspose(
+                features=self.out_channels,
+                patch=(p_h, p_w),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                packed_out=True,
+                name="ConvTranspose_0",
+            )(x)
         h, w = x.shape[-3], x.shape[-2]
         c_in = x.shape[-1]
         if (

@@ -102,8 +102,34 @@ def rollout_tante_latent(
     chunk = int(model.output_length or 1)
     x = x[:, -t_in:]
     latents0 = model.apply(params, x, method="encode")
-    u0 = x[:, -1:]
     n_calls = math.ceil(n_steps / chunk)
+
+    # Packed-frame fast path: keep frames in pack_patches layout across the
+    # decode -> encode round trip — the decoder's final depth-to-space and
+    # the encoder's first space-to-depth conv both become plain dense
+    # matmuls (measured 0.30 + ~0.1 ms/call of conv-emitter time at the
+    # bench geometry), and the physical-layout frame is materialized once,
+    # after the scan.
+    packed = bool(getattr(model, "packed_io_ok", lambda: False)())
+    if packed:
+        from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+        from tante_tpu.ops.convs import pack_patches, unpack_patches
+
+        p0 = PATCH_MAP[model.patch_scale][0]
+        u0 = pack_patches(x[:, -1:], p0)
+
+        def body_packed(carry, _):
+            lat, u = carry
+            frames = model.apply(params, lat, u, method="head", packed=True)
+            new_lat = model.apply(params, frames, method="encode", packed=True)
+            lat = jnp.concatenate([lat, new_lat], axis=1)[:, -t_in:]
+            return (lat, frames[:, -1:]), frames
+
+        _, ys = jax.lax.scan(body_packed, (latents0, u0), None, length=n_calls)
+        y_pred = rearrange(ys, "s b k ... -> b (s k) ...")[:, :n_steps]
+        return unpack_patches(y_pred, p0)
+
+    u0 = x[:, -1:]
 
     def body(carry, _):
         lat, u = carry

@@ -142,3 +142,65 @@ def test_tante_taylor_sum_matches_hand_computation():
     sol = np.linalg.solve(a, rhs.reshape(2, -1)).reshape(2, *rhs.shape[1:])
     pred3 = u0 + sol[0] * t3 + sol[1] * t3**2 / 2
     np.testing.assert_allclose(f[:, 2], pred3, atol=1e-3)
+
+
+def test_packed_frame_io_matches_physical():
+    """The packed decode->encode fast path (ops/convs.py pack_patches /
+    packed_in / packed_out) must reproduce the physical-layout path: the
+    packed tensors are a fixed permutation of the conv formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+    from tante_tpu.ops.convs import pack_patches, packed_patch_ok, unpack_patches
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 32),
+        field_names={0: ["a", "b", "c"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = TANTE(
+        in_T=2,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THW",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=True,
+    )
+    assert model.packed_io_ok()
+    p0 = PATCH_MAP[model.patch_scale][0]
+    assert packed_patch_ok(p0, 0.0)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    # pack/unpack are exact inverses
+    xp = pack_patches(x, p0)
+    np.testing.assert_array_equal(np.asarray(unpack_patches(xp, p0)), np.asarray(x))
+
+    # encode: packed input == physical input
+    lat = model.apply(params, x, method="encode")
+    lat_p = model.apply(params, xp, method="encode", packed=True)
+    np.testing.assert_allclose(np.asarray(lat_p), np.asarray(lat), atol=2e-5)
+
+    # head: packed output == pack(physical output)
+    u = x[:, -1:]
+    frames = model.apply(params, lat, u, method="head")
+    frames_p = model.apply(
+        params, lat, pack_patches(u, p0), method="head", packed=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack_patches(frames_p, p0)), np.asarray(frames), atol=2e-5
+    )
