@@ -390,9 +390,200 @@ def fused_run(axes: str):
     return apply_run
 
 
+
+
+def fused_hw_pair():
+    """[H W] pair: one kernel per (b, t) PLANE (flat 2-D tiles, 768 rows).
+
+    In-kernel: perm (h,w)->(w,h) via a 768x768 permutation matmul, H body
+    (contiguous l=16, sp=128), perm back, W body (contiguous l=48, sp=96).
+    Replaces: 2 XLA transposes around H + one kernel launch + one HBM
+    round trip per pair."""
+    plane = H * W
+    P = jnp.asarray(_plane_perm(H, W), DTYPE)
+    Pt = jnp.asarray(_plane_perm(H, W).T, DTYPE)
+
+    def kern(x_ref, p_ref, pt_ref, *refs):
+        o_ref = refs[-1]
+        prefs = refs[:-1]
+        x = x_ref[:]
+        dn2 = (((1,), (0,)), ((), ()))
+
+        def perm(v, mat):
+            return jax.lax.dot_general(
+                mat[:], v, dn2, preferred_element_type=jnp.float32
+            ).astype(v.dtype)
+
+        ph = BlockParams(*(r[0] for r in prefs))
+        pw = BlockParams(*(r[1] for r in prefs))
+        y = perm(x, p_ref)                      # (w, h) order
+        y = _strided_body(y, ph, H, HEADS, 128, False, None)
+        y = perm(y, pt_ref)                     # back to canonical (h, w)
+        y = _strided_body(y, pw, W, HEADS, 96, False, None)
+        o_ref[:] = y
+
+    xspec = pl.BlockSpec((plane, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    def apply_pair(x5, params_h, params_w):
+        params_h = _prescale(params_h)
+        params_w = _prescale(params_w)
+        stacked = [jnp.stack(arrs) for arrs in zip(params_h, params_w)]
+        b = x5.shape[0]
+        x2 = x5.reshape(b * T * plane, C)
+        out = pl.pallas_call(
+            kern,
+            grid=(b * T,),
+            in_specs=[xspec, wspec(P.shape), wspec(Pt.shape)]
+            + [wspec(a.shape) for a in stacked],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+        )(x2, P, Pt, *stacked)
+        return out.reshape(x5.shape)
+
+    return apply_pair
+
+
+
+
+def fused_hw_pair2():
+    """[H W] pair on TWO-plane tiles (1536 rows, grid 16): per-plane perms
+    via two (768,768) dots + sublane concat; bigger tiles restore the MXU
+    pipelining the one-plane variant lost."""
+    plane = H * W
+    P = jnp.asarray(_plane_perm(H, W), DTYPE)
+    Pt = jnp.asarray(_plane_perm(H, W).T, DTYPE)
+    rows = 2 * plane
+
+    def kern(x_ref, p_ref, pt_ref, *refs):
+        o_ref = refs[-1]
+        prefs = refs[:-1]
+        x = x_ref[:]
+        dn2 = (((1,), (0,)), ((), ()))
+
+        def perm(v, mat):
+            vr = v.reshape(2, plane, C)
+            outs = [
+                jax.lax.dot_general(
+                    mat[:], vr[i], dn2, preferred_element_type=jnp.float32
+                ).astype(v.dtype)
+                for i in range(2)
+            ]
+            return jnp.concatenate(outs, axis=0)
+
+        ph = BlockParams(*(r[0] for r in prefs))
+        pw = BlockParams(*(r[1] for r in prefs))
+        y = perm(x, p_ref)
+        y = _strided_body(y, ph, H, HEADS, 128, False, None)
+        y = perm(y, pt_ref)
+        y = _strided_body(y, pw, W, HEADS, 96, False, None)
+        o_ref[:] = y
+
+    xspec = pl.BlockSpec((rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    def apply_pair(x5, params_h, params_w):
+        params_h = _prescale(params_h)
+        params_w = _prescale(params_w)
+        stacked = [jnp.stack(arrs) for arrs in zip(params_h, params_w)]
+        b = x5.shape[0]
+        x2 = x5.reshape(b * T * plane, C)
+        out = pl.pallas_call(
+            kern,
+            grid=(b * T * plane // rows,),
+            in_specs=[xspec, wspec(P.shape), wspec(Pt.shape)]
+            + [wspec(a.shape) for a in stacked],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+        )(x2, P, Pt, *stacked)
+        return out.reshape(x5.shape)
+
+    return apply_pair
+
+
+def fused_wt_pair():
+    """[W T] pair, perm-free: full-element flat tiles (3072 rows, grid 8),
+    W strided-contiguous body then the T roll body."""
+    rows = T * H * W
+
+    def kern(x_ref, *refs):
+        o_ref = refs[-1]
+        prefs = refs[:-1]
+        x = x_ref[:]
+        pw = BlockParams(*(r[0] for r in prefs))
+        pt = BlockParams(*(r[1] for r in prefs))
+        y = _strided_body(x, pw, W, HEADS, 96, False, None)
+        y = _roll_body(y, pt, T, HEADS, causal=True, stride=H * W)
+        o_ref[:] = y
+
+    xspec = pl.BlockSpec((rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    def apply_pair(x5, params_w, params_t):
+        params_w = _prescale(params_w)
+        params_t = _prescale(params_t)
+        stacked = [jnp.stack(arrs) for arrs in zip(params_w, params_t)]
+        b = x5.shape[0]
+        x2 = x5.reshape(b * rows, C)
+        out = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[xspec] + [wspec(a.shape) for a in stacked],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        )(x2, *stacked)
+        return out.reshape(x5.shape)
+
+    return apply_pair
+
+
 def run_fused_chain(which, x5, params):
     import time as _t
 
+    if "pairHW" in which:
+        ap = fused_hw_pair()
+        ref = today_block("W")(today_block("H")(x5, params), params)
+        got = ap(x5, params, params)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+        print(f"fused [HW] max|err| {err:.3e}", flush=True)
+        time_chain("fused [HW] (flat planes, grid 32)",
+                   [lambda y, pp: ap(y, pp, pp)], x5, params, 2, iters=150)
+    if "chainE" in which:
+        ap = fused_hw_pair()
+        tb = canon_block("T", "roll", {"h_b": 16, "w_b": 48})
+        chain = [tb, lambda y, pp: ap(y, pp, pp)] * 3
+        time_chain("chainE: [canonT][HW-pair] x3 (6 launches)", chain, x5, params, 9, iters=100)
+    if "pairHW2" in which:
+        ap = fused_hw_pair2()
+        ref = today_block("W")(today_block("H")(x5, params), params)
+        got = ap(x5, params, params)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+        print(f"fused [HW2] max|err| {err:.3e}", flush=True)
+        time_chain("fused [HW] (2-plane tiles, grid 16)",
+                   [lambda y, pp: ap(y, pp, pp)], x5, params, 2, iters=150)
+    if "pairWT" in which:
+        ap = fused_wt_pair()
+        ref = today_block("T")(today_block("W")(x5, params), params)
+        got = ap(x5, params, params)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+        print(f"fused [WT] max|err| {err:.3e}", flush=True)
+        time_chain("fused [WT] (full-elem flat, grid 8)",
+                   [lambda y, pp: ap(y, pp, pp)], x5, params, 2, iters=150)
     if "pairTH" in which:
         ap = fused_run("TH")
         ref = today_block("H")(today_block("T")(x5, params), params)
