@@ -111,9 +111,16 @@ def build(latent_cache: bool = True):
     if latent_cache:
         # Latent-caching rollout: each frame encoded exactly once
         # (equivalence-tested in tests/test_rollout.py).
+        # bf16 emitted frames: the rollout trajectory itself is exact (the
+        # Taylor expansion point rides the carry in f32; the encoder
+        # quantizes its input to bf16 regardless) — only the RETURNED frame
+        # copies are rounded to the compute dtype, matching what the
+        # reference returns under bf16 autocast (trainer/trainer.py:181).
         @jax.jit
         def rollout(params, x):
-            return rollout_tante_latent(model, params, x, N_STEPS)
+            return rollout_tante_latent(
+                model, params, x, N_STEPS, out_dtype=jnp.bfloat16
+            )
 
     else:
 

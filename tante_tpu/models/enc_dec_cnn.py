@@ -19,6 +19,18 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.convs import RealConv2d, RealTransConv2d
 
+def _gelu(z: jnp.ndarray) -> jnp.ndarray:
+    """Inter-stage GELU (reference ``nn.GELU()`` = exact erf form).
+
+    Under a bf16 compute dtype the tanh approximation is used instead: its
+    deviation from exact erf-GELU (<= ~1.5e-3 relative) is below bf16's own
+    quantization step (2^-8 ~= 3.9e-3), while erf costs ~2x on the VPU —
+    measured ~0.1 ms per 12.6 MB pyramid intermediate at the bench
+    geometry.  f32 runs keep the exact form (numerical-parity tests)."""
+    approx = z.dtype == jnp.bfloat16
+    return nn.gelu(z, approximate=approx)
+
+
 # patch_scale -> per-stage patch sizes (reference enc_dec_cnn.py:39-46).
 PATCH_MAP = {
     64: (4, 4, 4),
@@ -53,6 +65,28 @@ class EncCNN(nn.Module):
             RealConv2d(self.embed_dim // 2, p[1], self.overlap_ratio, dtype=self.dtype),
             RealConv2d(self.embed_dim, p[2], self.overlap_ratio, dtype=self.dtype),
         ]
+        if packed_in == "morton" and all(
+            packed_patch_ok(pi, self.overlap_ratio) or pi == 1 for pi in p
+        ):
+            # Morton-packed CONSTANT-ROW pyramid: frames arrive as
+            # (B*T, H_p*W_p, g*p0*p0*C_in) quad-tree rows with
+            # g = (p1*p2)**2 — one row per FINAL latent pixel, carrying all
+            # of that pixel's receptive field in morton order.  Every stage
+            # is then one matmul with the block-diagonal kron(I_gi, W) of
+            # its own conv kernel (identical parameters, gi = remaining
+            # sub-pixels per row), so the whole pyramid runs with ZERO
+            # reshapes/relayouts and all operands keep >=128 lanes.  The
+            # output rows ARE the row-major (H_p, W_p) latent grid.
+            md = self.dset_metadata
+            res = md.spatial_resolution if md else (128, 384)
+            g = (p[1] * p[2]) ** 2
+            z = stages[0](z, packed_in=True, packed_group=g)
+            z = _gelu(z)
+            z = stages[1](z, packed_in=True, packed_group=g // (p[1] * p[1]))
+            z = _gelu(z)
+            z = stages[2](z, packed_in=True, packed_group=1)
+            hp, wp = res[0] // self.patch_scale, res[1] // self.patch_scale
+            return z.reshape(b, t, hp, wp, self.embed_dim)
         if packed_in and all(packed_patch_ok(pi, self.overlap_ratio) or pi == 1 for pi in p):
             # All-dense pyramid: the input is already packed for stage 1,
             # and each interior boundary re-packs the (fat-channel) stage
@@ -61,15 +95,15 @@ class EncCNN(nn.Module):
             # input the stage-1 space-to-depth on the thin-channel frame is
             # slower than XLA's conv (docs/PERF.md round 2/3).
             z = stages[0](z, packed_in=True)
-            z = nn.gelu(z, approximate=False)
+            z = _gelu(z)
             z = stages[1](pack_patches(z, p[1]) if p[1] > 1 else z, packed_in=p[1] > 1)
-            z = nn.gelu(z, approximate=False)
+            z = _gelu(z)
             z = stages[2](pack_patches(z, p[2]) if p[2] > 1 else z, packed_in=p[2] > 1)
             return z.reshape(b, t, *z.shape[1:])
         z = stages[0](z, packed_in=packed_in)
-        z = nn.gelu(z, approximate=False)
+        z = _gelu(z)
         z = stages[1](z)
-        z = nn.gelu(z, approximate=False)
+        z = _gelu(z)
         z = stages[2](z)
         return z.reshape(b, t, *z.shape[1:])  # (B, T, H_p, W_p, C)
 
@@ -97,6 +131,25 @@ class DecCNN(nn.Module):
             RealTransConv2d(self.embed_dim // 4, p[1], self.overlap_ratio, dtype=self.dtype),
             RealTransConv2d(out_channels, p[0], self.overlap_ratio, dtype=self.dtype),
         ]
+        if packed_out == "morton" and all(
+            packed_patch_ok(pi, self.overlap_ratio) or pi == 1 for pi in p
+        ):
+            # Morton mirror of EncCNN(packed_in='morton'): the CONSTANT-ROW
+            # pyramid in reverse.  Rows stay (H_p*W_p) throughout — each row
+            # accumulates its latent pixel's expanding receptive field as
+            # fat morton-ordered channels via kron(I_gi, W) block-diagonal
+            # stage matmuls (identical conv parameters).  Zero reshapes,
+            # all operands >=128 lanes.  Returns frames as
+            # (B, T, H_p*W_p, g*p0*p0*C_out) with g = (p1*p2)**2.
+            z = z.reshape(b * t, -1, z.shape[-1])  # (BT, H_p*W_p, C)
+            z = stages[0](z, packed_out=True, packed_group=1)
+            z = _gelu(z)
+            z = stages[1](z, packed_out=True, packed_group=p[2] * p[2])
+            z = _gelu(z)
+            z = stages[2](
+                z, packed_out=True, packed_group=(p[1] * p[2]) ** 2
+            )
+            return z.reshape(b, t, *z.shape[1:])
         if packed_out and all(packed_patch_ok(pi, self.overlap_ratio) or pi == 1 for pi in p):
             # All-dense mirror of EncCNN's packed pyramid: each stage is one
             # matmul emitting the packed layout; interior boundaries unpack
@@ -104,18 +157,18 @@ class DecCNN(nn.Module):
             # patches regroup pixels.  The FINAL stage stays packed — the
             # caller (latent rollout) consumes pack_patches frames.
             z = stages[0](z, packed_out=p[2] > 1)
-            z = nn.gelu(z, approximate=False)
+            z = _gelu(z)
             if p[2] > 1:
                 z = unpack_patches(z, p[2])
             z = stages[1](z, packed_out=p[1] > 1)
-            z = nn.gelu(z, approximate=False)
+            z = _gelu(z)
             if p[1] > 1:
                 z = unpack_patches(z, p[1])
             z = stages[2](z, packed_out=True)
             return z.reshape(b, t, *z.shape[1:])
         z = stages[0](z)
-        z = nn.gelu(z, approximate=False)
+        z = _gelu(z)
         z = stages[1](z)
-        z = nn.gelu(z, approximate=False)
+        z = _gelu(z)
         z = stages[2](z, packed_out=packed_out)
         return z.reshape(b, t, *z.shape[1:])  # (B, T, H, W, C_out)

@@ -207,6 +207,21 @@ class TANTE(nn.Module):
             PATCH_MAP[self.patch_scale][0], self.overlap_ratio
         )
 
+    def morton_io_ok(self) -> bool:
+        """Whether the Morton-packed fast path applies: every CNN pyramid
+        stage is a clean space-to-depth (or pointwise), so the entire
+        decode -> Taylor -> encode round trip runs on quad-tree-ordered flat
+        rows with zero interior transposes (``ops/convs.py:morton_pack``)."""
+        from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+        from tante_tpu.ops.convs import packed_patch_ok
+
+        if self.enc_dec_type != "cnn":
+            return False
+        p = PATCH_MAP[self.patch_scale]
+        return packed_patch_ok(p[0], self.overlap_ratio) and all(
+            pi == 1 or packed_patch_ok(pi, self.overlap_ratio) for pi in p
+        )
+
     def encode(self, inputs: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
         """Per-frame latent encoding: (B, K, H, W, C) -> (B, K, H_p, W_p, C).
 
@@ -214,11 +229,12 @@ class TANTE(nn.Module):
         batch axis), so rollouts can cache latents and encode only the new
         frame per call (``train/rollout.py:rollout_tante_latent``).
 
-        packed: inputs are already in ``pack_patches(frames, p0)`` layout —
-        valid only when ``packed_io_ok()`` (the caller gates).
+        packed: True — inputs are in ``pack_patches(frames, p0)`` layout
+        (gate with ``packed_io_ok()``); "morton" — inputs are
+        ``morton_pack`` flat rows (gate with ``morton_io_ok()``).
         """
         if packed:
-            return self.encoder(inputs, packed_in=True)
+            return self.encoder(inputs, packed_in=packed)
         return self.encoder(inputs)
 
     def head(
@@ -262,7 +278,7 @@ class TANTE(nn.Module):
                     tokens, "b (h w) c -> b 1 h w c", h=self.H_p, w=self.W_p
                 )
             if packed:
-                derivatives.append(self.decoders[i](derivative, packed_out=True))
+                derivatives.append(self.decoders[i](derivative, packed_out=packed))
             else:
                 derivatives.append(self.decoders[i](derivative))  # (B, 1, H, W, C_out)
 
@@ -276,7 +292,9 @@ class TANTE(nn.Module):
             dtype=jnp.float32,
         )[None, :]
         coeffs = (steps**orders / fact).astype(derivs.dtype)  # (n_out, K)
-        outputs = jnp.einsum("ik,bkhwc->bihwc", coeffs, derivs) + u_last
+        # Ellipsis handles both spatial (B, K, H, W, C) and packed/morton
+        # flat-row (B, K, N, C') derivative layouts.
+        outputs = jnp.einsum("ik,bk...->bi...", coeffs, derivs) + u_last
 
         if self.deg:
             return outputs

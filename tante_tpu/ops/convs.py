@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
@@ -59,6 +60,59 @@ def packed_patch_ok(p: int, overlap_ratio: float) -> bool:
     return overlap_ratio == 0.0 and (p - 1) // 2 == 0 and p > 1
 
 
+def morton_pack(x: jnp.ndarray, ps: Tuple[int, int, int]) -> jnp.ndarray:
+    """Hierarchical (quad-tree / Morton) space-to-depth for a 3-stage patch
+    pyramid: ``(..., H, W, C) -> (..., N, p0*p0*C)`` with ``N = H*W/p0**2``.
+
+    ``ps = (p0, p1, p2)`` are the per-stage patch sizes (``PATCH_MAP``
+    order: stage 0 consumes p0-patches of the physical frame).  Rows are
+    ordered ``(h_c, w_c, h2, w2, h1, w1)`` where ``h = ((h_c*p2 + h2)*p1 +
+    h1)*p0 + h0``; the p0-level lives in channels with order ``(h0, w0, c)``
+    — the same channel order as ``pack_patches(x, p0)``.
+
+    Why: with rows in this order, every interior boundary of the packed
+    enc/dec pyramid (``EncCNN(packed_in='morton')`` /
+    ``DecCNN(packed_out='morton')``) groups pi*pi CONSECUTIVE rows into one
+    patch, so the re-pack between stages is a pure reshape instead of an
+    XLA transpose, and the coarsest level comes out exactly row-major —
+    i.e. equal to the (H_p, W_p) latent grid.  Measured at the bench
+    geometry this removes ~0.35 ms/call of re-pack copies from the rollout
+    hot loop (docs/PERF.md round 3).
+    """
+    p0, p1, p2 = ps
+    h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+    lead = x.shape[:-3]
+    s = p0 * p1 * p2
+    hc, wc = h // s, w // s
+    z = x.reshape(*lead, hc, p2, p1, p0, wc, p2, p1, p0, c)
+    l = z.ndim - 9
+    z = z.transpose(
+        *range(l), l, l + 4, l + 1, l + 5, l + 2, l + 6, l + 3, l + 7, l + 8
+    )
+    return z.reshape(*lead, hc * wc * p2 * p2 * p1 * p1, p0 * p0 * c)
+
+
+def morton_unpack(
+    z: jnp.ndarray, ps: Tuple[int, int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Inverse of ``morton_pack``: ``(..., N, p0*p0*C) -> (..., H, W, C)``.
+
+    ``hw`` is the physical (H, W) (the flat row count alone cannot
+    disambiguate the aspect ratio)."""
+    p0, p1, p2 = ps
+    h, w = hw
+    c = z.shape[-1] // (p0 * p0)
+    lead = z.shape[:-2]
+    s = p0 * p1 * p2
+    hc, wc = h // s, w // s
+    y = z.reshape(*lead, hc, wc, p2, p2, p1, p1, p0, p0, c)
+    l = y.ndim - 9
+    y = y.transpose(
+        *range(l), l, l + 2, l + 4, l + 6, l + 1, l + 3, l + 5, l + 7, l + 8
+    )
+    return y.reshape(*lead, h, w, c)
+
+
 def unpack_patches(z: jnp.ndarray, p: int) -> jnp.ndarray:
     """Depth-to-space inverse of ``pack_patches``."""
     hp, wp, pc = z.shape[-3], z.shape[-2], z.shape[-1]
@@ -89,12 +143,16 @@ class _PatchDense(nn.Module):
     # Input already packed ((..., H/p, W/p, p*p*c_in), pack_patches order):
     # skip the space-to-depth and go straight to the matmul.
     packed_in: bool = False
+    # Morton row-grouping (see ``morton_group``): input rows carry ``group``
+    # consecutive packed pixels, so the matmul weight is the block-diagonal
+    # kron(I_g, W) — identical parameters, full-lane operands.
+    group: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p_h, p_w = self.patch
         if self.packed_in:
-            c_in = x.shape[-1] // (p_h * p_w)
+            c_in = x.shape[-1] // (p_h * p_w * self.group)
             z = x
         else:
             h, w, c_in = x.shape[-3], x.shape[-2], x.shape[-1]
@@ -108,13 +166,23 @@ class _PatchDense(nn.Module):
         kernel = self.param(
             "kernel", torch_kernel_init, (p_h, p_w, c_in, self.features)
         )
-        wmat = kernel.reshape(p_h * p_w * c_in, self.features)
-        y = z.astype(self.dtype) @ wmat.astype(self.dtype)
+        wmat = kernel.reshape(p_h * p_w * c_in, self.features).astype(self.dtype)
+        if self.group > 1:
+            eye = jnp.eye(self.group, dtype=self.dtype)
+            wmat = jnp.kron(eye, wmat)  # block-diag: (g*K, g*N)
+            # Materialize the block-diag weight instead of letting XLA fuse
+            # its construction into the dot (which demotes the matmul to a
+            # VPU fusion); as a loop-invariant value it is then hoisted out
+            # of rollout scan bodies and built once.
+            wmat = jax.lax.optimization_barrier(wmat)
+        y = z.astype(self.dtype) @ wmat
         if self.use_bias:
             bias = self.param(
                 "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
-            )
-            y = y + bias.astype(self.dtype)
+            ).astype(self.dtype)
+            if self.group > 1:
+                bias = jnp.tile(bias, self.group)
+            y = y + bias
         return y
 
 
@@ -133,11 +201,15 @@ class _PatchDenseTranspose(nn.Module):
     # order) WITHOUT the depth-to-space — the inverse of _PatchDense's
     # packed_in, so a decode->encode round trip can stay packed.
     packed_out: bool = False
+    # Morton row-grouping (see ``morton_group``): only valid with
+    # packed_out; each row carries ``group`` input pixels and emits
+    # group*p*p*features packed output channels via kron(I_g, W).
+    group: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p_h, p_w = self.patch
-        h, w, c_in = x.shape[-3], x.shape[-2], x.shape[-1]
+        c_in = x.shape[-1] // self.group
         kernel = self.param(
             "kernel", torch_kernel_init, (p_h, p_w, c_in, self.features)
         )
@@ -145,10 +217,17 @@ class _PatchDenseTranspose(nn.Module):
         # (ph, pw) patch of co-channel outputs.  lax.conv_transpose (flax's
         # backend, transpose_kernel=False) mirrors the kernel spatially, so
         # flip to match its convention exactly.
-        wmat = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(
-            c_in, p_h * p_w * self.features
+        wmat = (
+            kernel[::-1, ::-1]
+            .transpose(2, 0, 1, 3)
+            .reshape(c_in, p_h * p_w * self.features)
+            .astype(self.dtype)
         )
-        y = x.astype(self.dtype) @ wmat.astype(self.dtype)
+        if self.group > 1:
+            assert self.packed_out
+            wmat = jnp.kron(jnp.eye(self.group, dtype=self.dtype), wmat)
+            wmat = jax.lax.optimization_barrier(wmat)  # see _PatchDense
+        y = x.astype(self.dtype) @ wmat
         if self.use_bias:
             bias = self.param(
                 "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
@@ -157,8 +236,9 @@ class _PatchDenseTranspose(nn.Module):
             bias = None
         if self.packed_out:
             if bias is not None:
-                y = y + jnp.tile(bias.astype(self.dtype), p_h * p_w)
+                y = y + jnp.tile(bias.astype(self.dtype), p_h * p_w * self.group)
             return y
+        h, w = x.shape[-3], x.shape[-2]
         lead = x.shape[:-3]
         y = y.reshape(*lead, h, w, p_h, p_w, self.features)
         nd = y.ndim
@@ -180,7 +260,9 @@ class RealConv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, packed_in: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, packed_in: bool = False, packed_group: int = 1
+    ) -> jnp.ndarray:
         p_h, p_w = _pair(self.patch_size)
         s_h, s_w = _stride(p_h, self.overlap_ratio), _stride(p_w, self.overlap_ratio)
         pad_h, pad_w = (p_h - 1) // 2, (p_w - 1) // 2
@@ -195,6 +277,7 @@ class RealConv2d(nn.Module):
                 use_bias=self.use_bias,
                 dtype=self.dtype,
                 packed_in=True,
+                group=packed_group,
                 name="Conv_0",
             )(x)
         h, w = x.shape[-3], x.shape[-2]
@@ -246,7 +329,9 @@ class RealTransConv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, packed_out: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, packed_out: bool = False, packed_group: int = 1
+    ) -> jnp.ndarray:
         p_h, p_w = _pair(self.patch_size)
         s_h, s_w = _stride(p_h, self.overlap_ratio), _stride(p_w, self.overlap_ratio)
         pad_h, pad_w = (p_h - 1) // 2, (p_w - 1) // 2
@@ -258,6 +343,7 @@ class RealTransConv2d(nn.Module):
                 use_bias=self.use_bias,
                 dtype=self.dtype,
                 packed_out=True,
+                group=packed_group,
                 name="ConvTranspose_0",
             )(x)
         h, w = x.shape[-3], x.shape[-2]

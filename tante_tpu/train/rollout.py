@@ -89,6 +89,7 @@ def rollout_tante_latent(
     params,
     x: jnp.ndarray,
     n_steps: int,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Fixed-step TANTE rollout with cached frame latents (inference).
 
@@ -97,11 +98,31 @@ def rollout_tante_latent(
     slides by k frames only the k new frames need encoding.  Saves
     (T-1)/T of the encoder cost per call (the encoder is ~20% of a TANTE
     forward at the shipped geometry).
+
+    out_dtype: optional storage dtype for the EMITTED frames (e.g.
+    bfloat16 in the throughput bench / serving).  The rollout trajectory is
+    unaffected: the Taylor expansion point rides the scan carry at full
+    precision and the encoder quantizes to the compute dtype either way —
+    only the returned copies are rounded.
     """
     t_in = model.in_T
     chunk = int(model.output_length or 1)
     x = x[:, -t_in:]
-    latents0 = model.apply(params, x, method="encode")
+    morton = bool(getattr(model, "morton_io_ok", lambda: False)())
+    if morton:
+        # Initial window encode also rides the morton pyramid: one pack
+        # transpose of the T input frames, then pure dense stages (the conv
+        # path costs ~1 ms per rollout at the bench geometry).
+        from tante_tpu.models.enc_dec_cnn import PATCH_MAP as _PM
+        from tante_tpu.ops.convs import morton_pack as _mp
+
+        _ps = _PM[model.patch_scale]
+        _g = (_ps[1] * _ps[2]) ** 2
+        _x0 = _mp(x, _ps)
+        _x0 = _x0.reshape(*_x0.shape[:-2], _x0.shape[-2] // _g, _g * _x0.shape[-1])
+        latents0 = model.apply(params, _x0, method="encode", packed="morton")
+    else:
+        latents0 = model.apply(params, x, method="encode")
     n_calls = math.ceil(n_steps / chunk)
 
     # Packed-frame fast path: keep frames in pack_patches layout across the
@@ -110,6 +131,40 @@ def rollout_tante_latent(
     # matmuls (measured 0.30 + ~0.1 ms/call of conv-emitter time at the
     # bench geometry), and the physical-layout frame is materialized once,
     # after the scan.
+    # Morton-packed fast path: frames stay as quad-tree-ordered flat rows
+    # across the whole decode -> Taylor -> encode round trip, so the
+    # pyramid's interior stage boundaries are pure reshapes (zero XLA
+    # transposes in the loop body); the single Morton <-> physical
+    # conversion happens once, outside the scan (ops/convs.py:morton_pack).
+    if morton:
+        from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+        from tante_tpu.ops.convs import morton_pack, morton_unpack
+
+        ps = PATCH_MAP[model.patch_scale]
+        md = model.dset_metadata
+        res = tuple(md.spatial_resolution) if md else (128, 384)
+        c_phys = x.shape[-1]
+        fat = ps[0] * ps[0] * c_phys
+        n_rows = res[0] * res[1] // (ps[0] * ps[0])
+        # Constant-row frame layout: one row per latent pixel, carrying its
+        # whole receptive field (g sub-pixels) — see EncCNN's morton branch.
+        g = (ps[1] * ps[2]) ** 2
+        u0 = morton_pack(x[:, -1:], ps)
+        u0 = u0.reshape(*u0.shape[:-2], n_rows // g, g * fat)
+
+        def body_morton(carry, _):
+            lat, u = carry
+            frames = model.apply(params, lat, u, method="head", packed="morton")
+            new_lat = model.apply(params, frames, method="encode", packed="morton")
+            lat = jnp.concatenate([lat, new_lat], axis=1)[:, -t_in:]
+            emit = frames if out_dtype is None else frames.astype(out_dtype)
+            return (lat, frames[:, -1:]), emit
+
+        _, ys = jax.lax.scan(body_morton, (latents0, u0), None, length=n_calls)
+        y_pred = rearrange(ys, "s b k ... -> b (s k) ...")[:, :n_steps]
+        y_pred = y_pred.reshape(*y_pred.shape[:-2], n_rows, fat)
+        return morton_unpack(y_pred, ps, res)
+
     packed = bool(getattr(model, "packed_io_ok", lambda: False)())
     if packed:
         from tante_tpu.models.enc_dec_cnn import PATCH_MAP
@@ -123,7 +178,8 @@ def rollout_tante_latent(
             frames = model.apply(params, lat, u, method="head", packed=True)
             new_lat = model.apply(params, frames, method="encode", packed=True)
             lat = jnp.concatenate([lat, new_lat], axis=1)[:, -t_in:]
-            return (lat, frames[:, -1:]), frames
+            emit = frames if out_dtype is None else frames.astype(out_dtype)
+            return (lat, frames[:, -1:]), emit
 
         _, ys = jax.lax.scan(body_packed, (latents0, u0), None, length=n_calls)
         y_pred = rearrange(ys, "s b k ... -> b (s k) ...")[:, :n_steps]
@@ -136,7 +192,8 @@ def rollout_tante_latent(
         frames = model.apply(params, lat, u, method="head")  # (B, chunk, ...)
         new_lat = model.apply(params, frames, method="encode")
         lat = jnp.concatenate([lat, new_lat], axis=1)[:, -t_in:]
-        return (lat, frames[:, -1:]), frames
+        emit = frames if out_dtype is None else frames.astype(out_dtype)
+        return (lat, frames[:, -1:]), emit
 
     _, ys = jax.lax.scan(body, (latents0, u0), None, length=n_calls)
     y_pred = rearrange(ys, "s b k ... -> b (s k) ...")

@@ -204,3 +204,123 @@ def test_packed_frame_io_matches_physical():
     np.testing.assert_allclose(
         np.asarray(unpack_patches(frames_p, p0)), np.asarray(frames), atol=2e-5
     )
+
+
+def test_morton_frame_io_matches_physical():
+    """The morton constant-row fast path (ops/convs.py morton_pack +
+    EncCNN/DecCNN 'morton' branches) must reproduce the physical-layout
+    path: rows are a fixed quad-tree permutation and the block-diagonal
+    kron(I_g, W) stage matmuls use the identical conv parameters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+    from tante_tpu.ops.convs import morton_pack, morton_unpack
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 32),
+        field_names={0: ["a", "b", "c"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = TANTE(
+        in_T=2,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THW",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=True,
+    )
+    assert model.morton_io_ok()
+    ps = PATCH_MAP[model.patch_scale]
+    g = (ps[1] * ps[2]) ** 2
+    fat = ps[0] * ps[0] * 3
+    n_rows = 16 * 32 // (ps[0] * ps[0])
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    # morton pack/unpack are exact inverses
+    xm = morton_pack(x, ps)
+    np.testing.assert_array_equal(
+        np.asarray(morton_unpack(xm, ps, (16, 32))), np.asarray(x)
+    )
+    xg = xm.reshape(*xm.shape[:-2], n_rows // g, g * fat)
+
+    # encode: morton rows == physical input
+    lat = model.apply(params, x, method="encode")
+    lat_m = model.apply(params, xg, method="encode", packed="morton")
+    np.testing.assert_allclose(np.asarray(lat_m), np.asarray(lat), atol=2e-5)
+
+    # head: morton output == morton_pack(physical output)
+    u = x[:, -1:]
+    frames = model.apply(params, lat, u, method="head")
+    ug = morton_pack(u, ps).reshape(2, 1, n_rows // g, g * fat)
+    frames_m = model.apply(params, lat, ug, method="head", packed="morton")
+    got = morton_unpack(
+        frames_m.reshape(*frames_m.shape[:-2], n_rows, fat), ps, (16, 32)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(frames), atol=2e-5)
+
+
+def test_morton_patch_scale_variants_and_out_dtype():
+    """Morton gate across PATCH_MAP entries, plus bf16 frame emission:
+    rollout_tante_latent(out_dtype=bf16) returns the bf16 rounding of the
+    exact same trajectory (the f32 expansion point rides the carry)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.train.rollout import rollout_tante_latent
+
+    def build(res, nf, ps):
+        md = TanteMetadata(
+            dataset_name="s",
+            n_spatial_dims=2,
+            spatial_resolution=res,
+            field_names={0: ["f"] * nf, 1: [], 2: []},
+            boundary_condition_types=[],
+            n_files=1,
+            n_trajectories_per_file=[1],
+            n_steps_per_trajectory=[8],
+            n_fields=nf,
+        )
+        return TANTE(
+            in_T=2,
+            dset_metadata=md,
+            taylor_order=1,
+            attn_axes="THW",
+            embed_dim=32,
+            patch_scale=ps,
+            n_head=4,
+            output_length=1,
+            deg=True,
+        )
+
+    # patch_scale 16 has a pad-1 4x4 stage -> not a clean space-to-depth
+    assert not build((32, 64), 3, 16).morton_io_ok()
+    assert build((16, 16), 2, 4).morton_io_ok()
+    assert build((8, 16), 2, 2).morton_io_ok()
+
+    model = build((16, 32), 3, 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    f32 = rollout_tante_latent(model, params, x, 4)
+    b16 = rollout_tante_latent(model, params, x, 4, out_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.astype(jnp.bfloat16)), np.asarray(b16)
+    )
