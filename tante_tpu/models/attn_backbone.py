@@ -53,17 +53,22 @@ class AxisPropagator(nn.Module):
         b2 = self.param("b2", torch_bias_init(a), (a,))
         w1, b1, w2, b2 = (p.astype(self.dtype) for p in (w1, b1, w2, b2))
         xc = x.astype(self.dtype)
+        # Exact erf-GELU under f32 (parity); tanh form under bf16 compute,
+        # where the difference is below bf16 quantization and erf costs ~2x
+        # on the VPU over the full (B, T, H, W, C) hidden tensor (same
+        # rationale as models/enc_dec_cnn.py:_gelu).
+        approx = self.dtype == jnp.bfloat16
         if PROP_IMPL == "einsum":
             src = _AXIS_LETTERS[: x.ndim]
             ax = src[self.axis]
             dst = src.replace(ax, "j")
             bias_shape = tuple(a if i == self.axis else 1 for i in range(x.ndim))
             y = jnp.einsum(f"{src},{ax}j->{dst}", xc, w1) + b1.reshape(bias_shape)
-            y = nn.gelu(y, approximate=False)
+            y = nn.gelu(y, approximate=approx)
             y = jnp.einsum(f"{dst},j{ax}->{src}", y, w2) + b2.reshape(bias_shape)
             return x + y
         moved = jnp.moveaxis(xc, self.axis, -1)
-        y = nn.gelu(moved @ w1 + b1, approximate=False) @ w2 + b2
+        y = nn.gelu(moved @ w1 + b1, approximate=approx) @ w2 + b2
         return x + jnp.moveaxis(y, -1, self.axis)
 
 
