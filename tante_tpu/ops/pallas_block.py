@@ -559,11 +559,16 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
 
     dn_qk = (((2,), (2,)), ((0,), (0,)))
     dn_av = (((2,), (1,)), ((0,), (0,)))
+    # One sublane reshape per tensor (instead of one per head-slice): heads
+    # are then plain lane slices of the 3-D views.
+    q3 = q.reshape(b_att, sp, c)
+    k3 = k.reshape(b_att, sp, c)
+    v3 = v.reshape(b_att, sp, c)
     heads_out = []
     for h in range(heads):
-        qh = q[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
-        kh = k[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
-        vh = v[:, h * d : (h + 1) * d].reshape(b_att, sp, d)
+        qh = q3[:, :, h * d : (h + 1) * d]
+        kh = k3[:, :, h * d : (h + 1) * d]
+        vh = v3[:, :, h * d : (h + 1) * d]
         scores = jax.lax.dot_general(qh, kh, dn_qk, preferred_element_type=jnp.float32)
         if fast_softmax:
             unnorm = exp_fn(jnp.minimum(scores + mask_bias[None], clamp))
@@ -578,8 +583,8 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
         recip = 1.0 / jnp.sum(unnorm, axis=-1, keepdims=True)
         ah = jax.lax.dot_general(w_un, vh, dn_av, preferred_element_type=jnp.float32)
         ah = ah * recip
-        heads_out.append(ah.astype(x.dtype).reshape(m_rows, d))
-    attn = jnp.concatenate(heads_out, axis=1)
+        heads_out.append(ah.astype(x.dtype))  # (b_att, sp, d)
+    attn = jnp.concatenate(heads_out, axis=2).reshape(m_rows, c)
 
     out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
     x = x + (out + p.bo).astype(x.dtype)

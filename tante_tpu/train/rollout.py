@@ -118,7 +118,10 @@ def rollout_tante_latent(
 
         _ps = _PM[model.patch_scale]
         _g = (_ps[1] * _ps[2]) ** 2
-        _x0 = _mp(x, _ps)
+        # Cast to the compute dtype BEFORE the pack transpose (halves the
+        # bytes moved; the encoder would cast right after anyway).  The f32
+        # Taylor expansion point u0 gets its own small single-frame pack.
+        _x0 = _mp(x.astype(model.dtype), _ps)
         _x0 = _x0.reshape(*_x0.shape[:-2], _x0.shape[-2] // _g, _g * _x0.shape[-1])
         latents0 = model.apply(params, _x0, method="encode", packed="morton")
     else:
