@@ -155,7 +155,7 @@ def build_adaptive():
     """
     from tante_tpu.data.dataset import TanteMetadata
     from tante_tpu.models import TANTE
-    from tante_tpu.train.rollout import rollout_adaptive_eval
+    from tante_tpu.train.rollout import rollout_adaptive_eval_tante
 
     md = TanteMetadata(
         dataset_name="bench",
@@ -197,11 +197,16 @@ def build_adaptive():
 
     @jax.jit
     def rollout(params, x):
-        y, rt_log, n_calls = rollout_adaptive_eval(
-            lambda w: model.apply(params, w, float(OUT_T_CAP), deterministic=True),
+        # Morton-packed adaptive engine (R_Evaler's production path): the
+        # while-loop runs on packed frames; bf16 output buffer (same
+        # rationale as the fixed lane).
+        y, rt_log, n_calls = rollout_adaptive_eval_tante(
+            model,
+            params,
             x,
             N_STEPS,
             max_frames_per_call=OUT_T_CAP,
+            out_dtype=jnp.bfloat16,
         )
         return y, n_calls
 

@@ -56,13 +56,14 @@ class R_Evaler(Evaler):
         n_steps = self.n_steps_rollout
         k = min(self.out_T_max, n_steps) if self.out_T_max else n_steps
 
+        from tante_tpu.train.rollout import rollout_adaptive_eval_tante
+
         @jax.jit
         def do_rollout(params, x, y):
-            y_pred, rt_log, n_calls = rollout_adaptive_eval(
-                lambda w: self.model.apply(params, w, float(k), deterministic=True),
-                x,
-                n_steps,
-                max_frames_per_call=k,
+            # Morton fast path when the model supports it (same emission
+            # semantics; falls back to the generic engine internally).
+            y_pred, rt_log, n_calls = rollout_adaptive_eval_tante(
+                self.model, params, x, n_steps, max_frames_per_call=k
             )
             return y_pred, rt_log, n_calls
 

@@ -248,7 +248,15 @@ def rollout_adaptive_eval(
     b = window.shape[0]
     k = max_frames_per_call if max_frames_per_call > 0 else n_steps
     k = min(k, n_steps)
-    out0 = jnp.zeros((b, n_steps) + window.shape[2:], dtype=window.dtype)
+    # Output buffer padded by K slots so each call writes its FULL K-frame
+    # block with one dynamic_update_slice at ``cum`` (no masked gather over
+    # the whole rollout buffer — that costs ~3 full-buffer passes per
+    # call).  Exactness: the block's first ``emit`` frames are the
+    # consumed prediction; the (K - emit) tail frames it also writes are
+    # garbage, but the NEXT call's block starts at cum + emit <= cum + K
+    # and overwrites exactly that tail; after the last call the remaining
+    # tail lives entirely in [n_steps, n_steps + K), which is sliced off.
+    out0 = jnp.zeros((b, n_steps + k) + window.shape[2:], dtype=window.dtype)
     rt_log0 = jnp.full((n_steps,), jnp.nan, dtype=jnp.float32)
 
     def cond(carry):
@@ -259,13 +267,9 @@ def rollout_adaptive_eval(
         win, out, cum, rt_log, n_calls = carry
         frames, rt = apply_fn(win)
         emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
-        # Scatter frames[:, :emit] into out[:, cum:cum+emit] via masked gather.
-        tpos = jnp.arange(n_steps)
-        rel = tpos - cum
-        use = (rel >= 0) & (rel < emit)
-        gathered = jnp.take(frames, jnp.clip(rel, 0, k - 1), axis=1)
-        mask = use.reshape((1, n_steps) + (1,) * (out.ndim - 2))
-        out = jnp.where(mask, gathered, out)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, frames.astype(out.dtype), cum, axis=1
+        )
         # Slide window: concat(window, frames)[:, emit : emit + T].
         cat = jnp.concatenate([win, frames], axis=1)
         win = jax.lax.dynamic_slice_in_dim(cat, emit, t_in, axis=1)
@@ -275,4 +279,82 @@ def rollout_adaptive_eval(
     _, out, _, rt_log, n_calls = jax.lax.while_loop(
         cond, body, (window, out0, jnp.int32(0), rt_log0, jnp.int32(0))
     )
-    return out, rt_log, n_calls
+    return out[:, :n_steps], rt_log, n_calls
+
+
+def rollout_adaptive_eval_tante(
+    model,
+    params,
+    window: jnp.ndarray,
+    n_steps: int,
+    max_frames_per_call: int = 0,
+    out_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``rollout_adaptive_eval`` specialized to TANTE: the whole while-loop
+    runs on morton-packed frames (see ``rollout_tante_latent``), so the
+    per-call encode/decode are pure dense matmuls, the window slides in
+    packed space, and the physical frame layout is materialized once after
+    the loop.  Exact same emission semantics as the generic engine (the
+    reference ``trainer/r_evaler.py:87-105`` contract); falls back to it
+    when the model has no morton path.
+
+    out_dtype: storage dtype for the output buffer (e.g. bfloat16 in the
+    bench/serving); the window carry stays full-precision either way.
+    """
+    k = max_frames_per_call if max_frames_per_call > 0 else n_steps
+    k = min(k, n_steps)
+    if not bool(getattr(model, "morton_io_ok", lambda: False)()):
+        return rollout_adaptive_eval(
+            lambda w: model.apply(params, w, float(k), deterministic=True),
+            window,
+            n_steps,
+            max_frames_per_call=k,
+        )
+
+    from tante_tpu.models.enc_dec_cnn import PATCH_MAP
+    from tante_tpu.ops.convs import morton_pack, morton_unpack
+
+    t_in = model.in_T
+    window = window[:, -t_in:]
+    b = window.shape[0]
+    ps = PATCH_MAP[model.patch_scale]
+    md = model.dset_metadata
+    res = tuple(md.spatial_resolution) if md else (128, 384)
+    c_phys = window.shape[-1]
+    fat = ps[0] * ps[0] * c_phys
+    n_rows = res[0] * res[1] // (ps[0] * ps[0])
+    g = (ps[1] * ps[2]) ** 2
+    win_m = morton_pack(window, ps)
+    win_m = win_m.reshape(*win_m.shape[:-2], n_rows // g, g * fat)
+
+    out0 = jnp.zeros(
+        (b, n_steps + k) + win_m.shape[2:], dtype=out_dtype or window.dtype
+    )
+    rt_log0 = jnp.full((n_steps,), jnp.nan, dtype=jnp.float32)
+
+    def cond(carry):
+        _, _, cum, _, _ = carry
+        return cum < n_steps
+
+    def body(carry):
+        win, out, cum, rt_log, n_calls = carry
+        lat = model.apply(params, win, method="encode", packed="morton")
+        frames, rt = model.apply(
+            params, lat, win[:, -1:], float(k), method="head", packed="morton"
+        )
+        emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
+        # Padded-buffer dus scatter (see rollout_adaptive_eval for the
+        # garbage-tail overwrite argument).
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, frames.astype(out.dtype), cum, axis=1
+        )
+        cat = jnp.concatenate([win, frames], axis=1)
+        win = jax.lax.dynamic_slice_in_dim(cat, emit, t_in, axis=1)
+        rt_log = rt_log.at[n_calls].set(jnp.mean(rt))
+        return win, out, cum + emit, rt_log, n_calls + 1
+
+    _, out, _, rt_log, n_calls = jax.lax.while_loop(
+        cond, body, (win_m, out0, jnp.int32(0), rt_log0, jnp.int32(0))
+    )
+    y = out[:, :n_steps].reshape(b, n_steps, n_rows, fat)
+    return morton_unpack(y, ps, res), rt_log, n_calls

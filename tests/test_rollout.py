@@ -160,3 +160,61 @@ def test_rollout_tante_latent_matches_standard():
     want = rollout_fixed(lambda w: model.apply(params, w), x, 6, 2)
     got = rollout_tante_latent(model, params, x, 6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_rollout_adaptive_eval_tante_matches_generic():
+    """The morton-packed adaptive engine must reproduce the generic
+    while-loop engine's emissions exactly, across r_t operating points
+    (1, 2 and 4 frames per call via a doctored interprator bias)."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.train.rollout import (
+        rollout_adaptive_eval,
+        rollout_adaptive_eval_tante,
+    )
+
+    md = TanteMetadata(
+        dataset_name="s",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 48),
+        field_names={0: ["a", "b", "c"], 1: [], 2: []},
+        boundary_condition_types=[],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THW",
+        embed_dim=64,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 48, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    assert model.morton_io_ok()
+
+    for bias in (None, 1.7, 2.999):
+        p = params
+        if bias is not None:
+            p = jax.tree_util.tree_map(lambda a: a, params)
+            head = p["params"]["interprators_0"]["TorchDense_2"]["Dense_0"]
+            head["kernel"] = jnp.zeros_like(head["kernel"])
+            head["bias"] = jnp.full_like(head["bias"], bias)
+        ref, rt_ref, n_ref = rollout_adaptive_eval(
+            lambda w: model.apply(p, w, 4.0, deterministic=True),
+            x,
+            7,
+            max_frames_per_call=4,
+        )
+        got, rt_got, n_got = rollout_adaptive_eval_tante(
+            model, p, x, 7, max_frames_per_call=4
+        )
+        assert int(n_ref) == int(n_got)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rt_got), np.asarray(rt_ref), atol=1e-5)
