@@ -324,23 +324,32 @@ def rollout_adaptive_eval_tante(
     fat = ps[0] * ps[0] * c_phys
     n_rows = res[0] * res[1] // (ps[0] * ps[0])
     g = (ps[1] * ps[2]) ** 2
-    win_m = morton_pack(window, ps)
-    win_m = win_m.reshape(*win_m.shape[:-2], n_rows // g, g * fat)
+
+    def pack(v, dtype=None):
+        z = morton_pack(v if dtype is None else v.astype(dtype), ps)
+        return z.reshape(*z.shape[:-2], n_rows // g, g * fat)
+
+    # Split carry: the sliding WINDOW rides in the compute dtype (the
+    # encoder quantizes its input to model.dtype regardless, so the
+    # trajectory is bit-identical) while the Taylor expansion point u(0)
+    # rides separately at full precision — exactly the fixed-lane split.
+    win0 = pack(window, model.dtype)
+    u0 = pack(window[:, -1:])
 
     out0 = jnp.zeros(
-        (b, n_steps + k) + win_m.shape[2:], dtype=out_dtype or window.dtype
+        (b, n_steps + k, n_rows // g, g * fat), dtype=out_dtype or window.dtype
     )
     rt_log0 = jnp.full((n_steps,), jnp.nan, dtype=jnp.float32)
 
     def cond(carry):
-        _, _, cum, _, _ = carry
+        _, _, _, cum, _, _ = carry
         return cum < n_steps
 
     def body(carry):
-        win, out, cum, rt_log, n_calls = carry
+        win, u, out, cum, rt_log, n_calls = carry
         lat = model.apply(params, win, method="encode", packed="morton")
         frames, rt = model.apply(
-            params, lat, win[:, -1:], float(k), method="head", packed="morton"
+            params, lat, u, float(k), method="head", packed="morton"
         )
         emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
         # Padded-buffer dus scatter (see rollout_adaptive_eval for the
@@ -348,13 +357,14 @@ def rollout_adaptive_eval_tante(
         out = jax.lax.dynamic_update_slice_in_dim(
             out, frames.astype(out.dtype), cum, axis=1
         )
-        cat = jnp.concatenate([win, frames], axis=1)
+        cat = jnp.concatenate([win, frames.astype(win.dtype)], axis=1)
         win = jax.lax.dynamic_slice_in_dim(cat, emit, t_in, axis=1)
+        u = jax.lax.dynamic_slice_in_dim(frames, emit - 1, 1, axis=1)
         rt_log = rt_log.at[n_calls].set(jnp.mean(rt))
-        return win, out, cum + emit, rt_log, n_calls + 1
+        return win, u, out, cum + emit, rt_log, n_calls + 1
 
-    _, out, _, rt_log, n_calls = jax.lax.while_loop(
-        cond, body, (win_m, out0, jnp.int32(0), rt_log0, jnp.int32(0))
+    _, _, out, _, rt_log, n_calls = jax.lax.while_loop(
+        cond, body, (win0, u0, out0, jnp.int32(0), rt_log0, jnp.int32(0))
     )
     y = out[:, :n_steps].reshape(b, n_steps, n_rows, fat)
     return morton_unpack(y, ps, res), rt_log, n_calls
