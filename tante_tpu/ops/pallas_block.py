@@ -534,6 +534,9 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
     xn = _ln(x, p.ln1_scale, p.ln1_bias)
     dn2 = (((1,), (0,)), ((), ()))
 
+    # NOTE: a fused (C, 3C) qkv projection dot was tried and REJECTED:
+    # Mosaic cannot reshape lane slices taken past the first 128-lane tile
+    # of the (M, 3C) result ("Input offsets outside of the first tile").
     def proj(w, b):
         y = jax.lax.dot_general(xn, w, dn2, preferred_element_type=jnp.float32)
         return (y + b).astype(x.dtype)
