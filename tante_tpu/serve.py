@@ -104,14 +104,14 @@ class Predictor:
 
     def _adaptive_fn(self, n_steps: int):
         if n_steps not in self._adaptive_cache:
-            from tante_tpu.train.rollout import rollout_adaptive_eval
+            from tante_tpu.train.rollout import rollout_adaptive_eval_tante
 
             @jax.jit
             def fn(params, x):
-                return rollout_adaptive_eval(
-                    lambda w: self.model.apply(params, w, float(n_steps)),
-                    x,
-                    n_steps,
+                # Morton fast path when available; generic engine otherwise
+                # (same emission semantics either way).
+                return rollout_adaptive_eval_tante(
+                    self.model, params, x, n_steps
                 )
 
             self._adaptive_cache[n_steps] = fn
