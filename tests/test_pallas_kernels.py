@@ -1,5 +1,6 @@
 """Pallas kernel numerics (interpret mode on CPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -220,6 +221,7 @@ def test_fused_block_gradients_flow():
     )
 
 
+@pytest.mark.slow  # opt-in feature path, >20s compile on 1 CPU
 def test_fused_group_matches_per_block_chain():
     """fused_group_apply (XLA fallback on CPU) must equal the per-block
     rearrange + fused_block_apply chain bit-for-bit, and its VJP must match
@@ -289,6 +291,7 @@ def test_fused_group_guard_rejects_bad_geometry():
     assert group_fusable("T", (4, 5, 7), 32, 4)
 
 
+@pytest.mark.slow  # opt-in feature path, >25s compile on 1 CPU
 def test_fused_chain_matches_per_block(rng):
     """Sub-chain fusion (fused_chain_apply): input in the FIRST axis's
     token order, output in the LAST's, must equal the per-block chain with

@@ -66,6 +66,7 @@ def test_tp_mlp_param_sharding_rules():
 
 
 @requires_8
+@pytest.mark.slow  # >30s on a 1-CPU host; the tp HLO collective-pattern test covers structure in the default run
 def test_tp_step_matches_single_device():
     """tp=2 x dp=4 TANTE training trajectory == single-device (rtol 1e-4).
 
@@ -167,6 +168,7 @@ class _nullcontext:
 
 
 @requires_8
+@pytest.mark.slow  # >100s; the driver executes dryrun_multichip every round (MULTICHIP_r0N.json)
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 

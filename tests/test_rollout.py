@@ -199,7 +199,7 @@ def test_rollout_adaptive_eval_tante_matches_generic():
     params = model.init(jax.random.PRNGKey(1), x)
     assert model.morton_io_ok()
 
-    for bias in (None, 1.7, 2.999):
+    for bias in (None, 2.999):  # 1-frame and 3-frame emission regimes
         p = params
         if bias is not None:
             p = jax.tree_util.tree_map(lambda a: a, params)
