@@ -90,9 +90,15 @@ def set_block_tuning(row_tile: int | None = None, softmax: str | None = None):
 
 
 def _ln(x, scale, bias, eps=1e-5):
+    # One-pass moments (E[x^2] - mu^2) instead of the two-reduction
+    # E[(x - mu)^2] form: one fewer f32 cross-lane reduction sweep per LN
+    # (~15 us/block at the flagship geometry).  Safe here: LN inputs are
+    # O(1) activations, so the cancellation error is ~f32 eps — and the
+    # same function feeds both the kernel and the XLA fallback/VJP, so
+    # kernel-vs-XLA equivalence is unchanged by construction.
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
