@@ -83,9 +83,17 @@ def forward_parity(model_name: str):
         import test_model_transplant as tm
         import jax.numpy as jnp
 
+        import jax
+
         fx = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "..", "tests", "fixtures", "transplant.npz"))
         sd = tm.sd_of(fx, tag)
+        # Run the parity forward on CPU: the fixtures are exact-f32 torch
+        # outputs, while TPU f32 dots default to bf16-precision passes
+        # (~2e-2 deviation that says nothing about op parity).  CPU matches
+        # the test-suite environment (<=1e-4).
+        cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+        cpu_ctx.__enter__()
         x = tm._nhwc(fx[f"{tag}.x"])
         if tag == "avit":
             got = None  # the avit test builds its own metadata; reuse it
