@@ -312,8 +312,18 @@ def test_morton_patch_scale_variants_and_out_dtype():
 
     # patch_scale 16 has a pad-1 4x4 stage -> not a clean space-to-depth
     assert not build((32, 64), 3, 16).morton_io_ok()
-    assert build((16, 16), 2, 4).morton_io_ok()
     assert build((8, 16), 2, 2).morton_io_ok()
+
+    # patch_scale 4 ((2,2,1): one pointwise stage): full rollout equivalence
+    from tante_tpu.train.rollout import rollout_fixed
+
+    m4 = build((16, 16), 2, 4)
+    assert m4.morton_io_ok()
+    x4 = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 16, 16, 2))
+    p4 = m4.init(jax.random.PRNGKey(4), x4)
+    ref = rollout_fixed(lambda w: m4.apply(p4, w), x4, 3, 1)
+    got = rollout_tante_latent(m4, p4, x4, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
     model = build((16, 32), 3, 8)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 32, 3))
