@@ -34,6 +34,12 @@ SHRINK = {
     "tante": ["model.embed_dim=32", "model.n_head=4", "model.attn_axes=TH"],
     "tante_adaptive": ["model.embed_dim=32", "model.n_head=4", "model.attn_axes=TH"],
     "fno": ["model.hidden_channels=8", "model.modes1=4", "model.modes2=4"],
+    "fno3d": [
+        "model.hidden_channels=8",
+        "model.modes1=4",
+        "model.modes2=4",
+        "model.modes3=4",
+    ],
     "tfno": ["model.hidden_channels=8", "model.modes1=4", "model.modes2=4"],
     "afno": ["model.hidden_dim=32", "model.n_blocks=1"],
     "uno": ["model.width=8"],
