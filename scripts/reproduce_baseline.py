@@ -91,44 +91,48 @@ def forward_parity(model_name: str):
         # Run the parity forward on CPU: the fixtures are exact-f32 torch
         # outputs, while TPU f32 dots default to bf16-precision passes
         # (~2e-2 deviation that says nothing about op parity).  CPU matches
-        # the test-suite environment (<=1e-4).
-        cpu_ctx = jax.default_device(jax.devices("cpu")[0])
-        cpu_ctx.__enter__()
-        x = tm._nhwc(fx[f"{tag}.x"])
-        if tag == "avit":
-            got = None  # the avit test builds its own metadata; reuse it
-            import pytest  # noqa: F401  (test module importable without a session)
-
-            # replicate the test body inline
-            from tante_tpu.data.dataset import TanteMetadata
-            from tante_tpu.models.avit import AViT
-
-            md = TanteMetadata(
-                dataset_name="parity_avit", n_spatial_dims=2,
-                spatial_resolution=(2 * tm.H, 2 * tm.W),
-                field_names={0: ["a", "b", "c"], 1: [], 2: []},
-                boundary_condition_types=["PERIODIC"], n_files=1,
-                n_trajectories_per_file=[1], n_steps_per_trajectory=[8],
-                n_fields=tm.F)
-            model = AViT(in_T=tm.T, dset_metadata=md, out_steps=4,
-                         patch_size=(16, 16), embed_dim=tm.EMBED, num_heads=4,
-                         processor_blocks=2, drop_path=0.0)
-            got = model.apply({"params": tm.avit_params(sd)}, jnp.asarray(x))
-        elif tag == "tante_ad":
-            model = tm.build_tante("cnn", deg=False, output_length=1)
-            got, _ = model.apply(
-                {"params": tm.tante_params(sd, "cnn", deg=False)}, jnp.asarray(x), 4.0
-            )
-            got = got[:, : fx[f"{tag}.y"].shape[1]]
-        else:
-            model = tm.build_tante("cnn", deg=True)
-            got = model.apply(
-                {"params": tm.tante_params(sd, "cnn", deg=True)}, jnp.asarray(x)
-            )
-        want = tm._nhwc(fx[f"{tag}.y"])
-        return float(np.max(np.abs(np.asarray(got) - want))), tag
+        # the test-suite environment (<=1e-4).  Scoped with-block so the
+        # device override does not leak into the caller's train/eval.
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _parity_forward(tm, fx, sd, tag, np, jnp), tag
     except Exception as e:  # parity report must never block the eval report
         return f"error: {e}", tag
+
+
+def _parity_forward(tm, fx, sd, tag, np, jnp):
+    x = tm._nhwc(fx[f"{tag}.x"])
+    if tag == "avit":
+        got = None  # the avit test builds its own metadata; reuse it
+        import pytest  # noqa: F401  (test module importable without a session)
+
+        # replicate the test body inline
+        from tante_tpu.data.dataset import TanteMetadata
+        from tante_tpu.models.avit import AViT
+
+        md = TanteMetadata(
+            dataset_name="parity_avit", n_spatial_dims=2,
+            spatial_resolution=(2 * tm.H, 2 * tm.W),
+            field_names={0: ["a", "b", "c"], 1: [], 2: []},
+            boundary_condition_types=["PERIODIC"], n_files=1,
+            n_trajectories_per_file=[1], n_steps_per_trajectory=[8],
+            n_fields=tm.F)
+        model = AViT(in_T=tm.T, dset_metadata=md, out_steps=4,
+                     patch_size=(16, 16), embed_dim=tm.EMBED, num_heads=4,
+                     processor_blocks=2, drop_path=0.0)
+        got = model.apply({"params": tm.avit_params(sd)}, jnp.asarray(x))
+    elif tag == "tante_ad":
+        model = tm.build_tante("cnn", deg=False, output_length=1)
+        got, _ = model.apply(
+            {"params": tm.tante_params(sd, "cnn", deg=False)}, jnp.asarray(x), 4.0
+        )
+        got = got[:, : fx[f"{tag}.y"].shape[1]]
+    else:
+        model = tm.build_tante("cnn", deg=True)
+        got = model.apply(
+            {"params": tm.tante_params(sd, "cnn", deg=True)}, jnp.asarray(x)
+        )
+    want = tm._nhwc(fx[f"{tag}.y"])
+    return float(np.max(np.abs(np.asarray(got) - want)))
 
 
 def run_eval(config_name: str, overrides: list[str], choose: str) -> dict:

@@ -65,9 +65,13 @@ class EncCNN(nn.Module):
             RealConv2d(self.embed_dim // 2, p[1], self.overlap_ratio, dtype=self.dtype),
             RealConv2d(self.embed_dim, p[2], self.overlap_ratio, dtype=self.dtype),
         ]
-        if packed_in == "morton" and all(
-            packed_patch_ok(pi, self.overlap_ratio) or pi == 1 for pi in p
-        ):
+        if packed_in == "morton":
+            from tante_tpu.ops.convs import morton_pyramid_ok
+
+            assert morton_pyramid_ok(p, self.overlap_ratio), (
+                "packed_in='morton' requires a clean pyramid — gate with "
+                "TANTE.morton_io_ok()"
+            )
             # Morton-packed CONSTANT-ROW pyramid: frames arrive as
             # (B*T, H_p*W_p, g*p0*p0*C_in) quad-tree rows with
             # g = (p1*p2)**2 — one row per FINAL latent pixel, carrying all
@@ -131,9 +135,13 @@ class DecCNN(nn.Module):
             RealTransConv2d(self.embed_dim // 4, p[1], self.overlap_ratio, dtype=self.dtype),
             RealTransConv2d(out_channels, p[0], self.overlap_ratio, dtype=self.dtype),
         ]
-        if packed_out == "morton" and all(
-            packed_patch_ok(pi, self.overlap_ratio) or pi == 1 for pi in p
-        ):
+        if packed_out == "morton":
+            from tante_tpu.ops.convs import morton_pyramid_ok
+
+            assert morton_pyramid_ok(p, self.overlap_ratio), (
+                "packed_out='morton' requires a clean pyramid — gate with "
+                "TANTE.morton_io_ok()"
+            )
             # Morton mirror of EncCNN(packed_in='morton'): the CONSTANT-ROW
             # pyramid in reverse.  Rows stay (H_p*W_p) throughout — each row
             # accumulates its latent pixel's expanding receptive field as

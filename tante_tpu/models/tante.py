@@ -213,14 +213,11 @@ class TANTE(nn.Module):
         decode -> Taylor -> encode round trip runs on quad-tree-ordered flat
         rows with zero interior transposes (``ops/convs.py:morton_pack``)."""
         from tante_tpu.models.enc_dec_cnn import PATCH_MAP
-        from tante_tpu.ops.convs import packed_patch_ok
+        from tante_tpu.ops.convs import morton_pyramid_ok
 
         if self.enc_dec_type != "cnn":
             return False
-        p = PATCH_MAP[self.patch_scale]
-        return packed_patch_ok(p[0], self.overlap_ratio) and all(
-            pi == 1 or packed_patch_ok(pi, self.overlap_ratio) for pi in p
-        )
+        return morton_pyramid_ok(PATCH_MAP[self.patch_scale], self.overlap_ratio)
 
     def encode(self, inputs: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
         """Per-frame latent encoding: (B, K, H, W, C) -> (B, K, H_p, W_p, C).

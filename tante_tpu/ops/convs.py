@@ -92,6 +92,41 @@ def morton_pack(x: jnp.ndarray, ps: Tuple[int, int, int]) -> jnp.ndarray:
     return z.reshape(*lead, hc * wc * p2 * p2 * p1 * p1, p0 * p0 * c)
 
 
+def morton_pyramid_ok(ps: Tuple[int, int, int], overlap_ratio: float) -> bool:
+    """Single gate for the morton constant-row pyramid: every stage is a
+    clean space-to-depth (or pointwise) and the physical boundary stage is
+    a real patch.  Shared by ``TANTE.morton_io_ok`` and the EncCNN/DecCNN
+    morton branches so the model-level gate and the branch condition can
+    never diverge."""
+    return packed_patch_ok(ps[0], overlap_ratio) and all(
+        pi == 1 or packed_patch_ok(pi, overlap_ratio) for pi in ps
+    )
+
+
+def morton_group_factor(ps: Tuple[int, int, int]) -> int:
+    """Rows-per-latent-pixel grouping of the morton FRAME layout: one row
+    per final latent pixel carrying its whole receptive field."""
+    return (ps[1] * ps[2]) ** 2
+
+
+def morton_pack_grouped(x: jnp.ndarray, ps: Tuple[int, int, int]) -> jnp.ndarray:
+    """``morton_pack`` + the constant-row grouping: (..., H, W, C) ->
+    (..., H_p*W_p, g*p0*p0*C) with g = (p1*p2)**2 — the frame layout the
+    EncCNN/DecCNN morton branches consume/produce."""
+    z = morton_pack(x, ps)
+    g = morton_group_factor(ps)
+    return z.reshape(*z.shape[:-2], z.shape[-2] // g, g * z.shape[-1])
+
+
+def morton_unpack_grouped(
+    z: jnp.ndarray, ps: Tuple[int, int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Inverse of ``morton_pack_grouped``."""
+    g = morton_group_factor(ps)
+    y = z.reshape(*z.shape[:-2], z.shape[-2] * g, z.shape[-1] // g)
+    return morton_unpack(y, ps, hw)
+
+
 def morton_unpack(
     z: jnp.ndarray, ps: Tuple[int, int, int], hw: Tuple[int, int]
 ) -> jnp.ndarray:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tante_tpu.train.evaler import Evaler
-from tante_tpu.train.rollout import rollout_adaptive_eval
+from tante_tpu.train.rollout import rollout_adaptive_eval_tante
 
 logger = logging.getLogger(__name__)
 
@@ -55,8 +55,6 @@ class R_Evaler(Evaler):
     def _build_rollout(self):
         n_steps = self.n_steps_rollout
         k = min(self.out_T_max, n_steps) if self.out_T_max else n_steps
-
-        from tante_tpu.train.rollout import rollout_adaptive_eval_tante
 
         @jax.jit
         def do_rollout(params, x, y):

@@ -108,52 +108,26 @@ def rollout_tante_latent(
     t_in = model.in_T
     chunk = int(model.output_length or 1)
     x = x[:, -t_in:]
-    morton = bool(getattr(model, "morton_io_ok", lambda: False)())
-    if morton:
-        # Initial window encode also rides the morton pyramid: one pack
-        # transpose of the T input frames, then pure dense stages (the conv
-        # path costs ~1 ms per rollout at the bench geometry).
-        from tante_tpu.models.enc_dec_cnn import PATCH_MAP as _PM
-        from tante_tpu.ops.convs import morton_pack as _mp
-
-        _ps = _PM[model.patch_scale]
-        _g = (_ps[1] * _ps[2]) ** 2
-        # Cast to the compute dtype BEFORE the pack transpose (halves the
-        # bytes moved; the encoder would cast right after anyway).  The f32
-        # Taylor expansion point u0 gets its own small single-frame pack.
-        _x0 = _mp(x.astype(model.dtype), _ps)
-        _x0 = _x0.reshape(*_x0.shape[:-2], _x0.shape[-2] // _g, _g * _x0.shape[-1])
-        latents0 = model.apply(params, _x0, method="encode", packed="morton")
-    else:
-        latents0 = model.apply(params, x, method="encode")
     n_calls = math.ceil(n_steps / chunk)
 
-    # Packed-frame fast path: keep frames in pack_patches layout across the
-    # decode -> encode round trip — the decoder's final depth-to-space and
-    # the encoder's first space-to-depth conv both become plain dense
-    # matmuls (measured 0.30 + ~0.1 ms/call of conv-emitter time at the
-    # bench geometry), and the physical-layout frame is materialized once,
-    # after the scan.
     # Morton-packed fast path: frames stay as quad-tree-ordered flat rows
     # across the whole decode -> Taylor -> encode round trip, so the
     # pyramid's interior stage boundaries are pure reshapes (zero XLA
     # transposes in the loop body); the single Morton <-> physical
     # conversion happens once, outside the scan (ops/convs.py:morton_pack).
-    if morton:
+    if bool(getattr(model, "morton_io_ok", lambda: False)()):
         from tante_tpu.models.enc_dec_cnn import PATCH_MAP
-        from tante_tpu.ops.convs import morton_pack, morton_unpack
+        from tante_tpu.ops.convs import morton_pack_grouped, morton_unpack_grouped
 
         ps = PATCH_MAP[model.patch_scale]
-        md = model.dset_metadata
-        res = tuple(md.spatial_resolution) if md else (128, 384)
-        c_phys = x.shape[-1]
-        fat = ps[0] * ps[0] * c_phys
-        n_rows = res[0] * res[1] // (ps[0] * ps[0])
-        # Constant-row frame layout: one row per latent pixel, carrying its
-        # whole receptive field (g sub-pixels) — see EncCNN's morton branch.
-        g = (ps[1] * ps[2]) ** 2
-        u0 = morton_pack(x[:, -1:], ps)
-        u0 = u0.reshape(*u0.shape[:-2], n_rows // g, g * fat)
+        res = tuple(x.shape[2:4])  # the physical tensor is the layout truth
+        # Initial window encode rides the morton pyramid too; cast to the
+        # compute dtype BEFORE the pack transpose (halves the bytes moved —
+        # the encoder would cast right after anyway).  The f32 Taylor
+        # expansion point u0 gets its own small single-frame pack.
+        x0 = morton_pack_grouped(x.astype(model.dtype), ps)
+        latents0 = model.apply(params, x0, method="encode", packed="morton")
+        u0 = morton_pack_grouped(x[:, -1:], ps)
 
         def body_morton(carry, _):
             lat, u = carry
@@ -165,8 +139,16 @@ def rollout_tante_latent(
 
         _, ys = jax.lax.scan(body_morton, (latents0, u0), None, length=n_calls)
         y_pred = rearrange(ys, "s b k ... -> b (s k) ...")[:, :n_steps]
-        y_pred = y_pred.reshape(*y_pred.shape[:-2], n_rows, fat)
-        return morton_unpack(y_pred, ps, res)
+        return morton_unpack_grouped(y_pred, ps, res)
+
+    latents0 = model.apply(params, x, method="encode")
+
+    # Packed-frame fast path: keep frames in pack_patches layout across the
+    # decode -> encode round trip — the decoder's final depth-to-space and
+    # the encoder's first space-to-depth conv both become plain dense
+    # matmuls (measured 0.30 + ~0.1 ms/call of conv-emitter time at the
+    # bench geometry), and the physical-layout frame is materialized once,
+    # after the scan.
 
     packed = bool(getattr(model, "packed_io_ok", lambda: False)())
     if packed:
@@ -304,40 +286,34 @@ def rollout_adaptive_eval_tante(
     k = max_frames_per_call if max_frames_per_call > 0 else n_steps
     k = min(k, n_steps)
     if not bool(getattr(model, "morton_io_ok", lambda: False)()):
-        return rollout_adaptive_eval(
+        y, rt_log, n_calls = rollout_adaptive_eval(
             lambda w: model.apply(params, w, float(k), deterministic=True),
             window,
             n_steps,
             max_frames_per_call=k,
         )
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
+        return y, rt_log, n_calls
 
     from tante_tpu.models.enc_dec_cnn import PATCH_MAP
-    from tante_tpu.ops.convs import morton_pack, morton_unpack
+    from tante_tpu.ops.convs import morton_pack_grouped, morton_unpack_grouped
 
     t_in = model.in_T
     window = window[:, -t_in:]
     b = window.shape[0]
     ps = PATCH_MAP[model.patch_scale]
-    md = model.dset_metadata
-    res = tuple(md.spatial_resolution) if md else (128, 384)
-    c_phys = window.shape[-1]
-    fat = ps[0] * ps[0] * c_phys
-    n_rows = res[0] * res[1] // (ps[0] * ps[0])
-    g = (ps[1] * ps[2]) ** 2
-
-    def pack(v, dtype=None):
-        z = morton_pack(v if dtype is None else v.astype(dtype), ps)
-        return z.reshape(*z.shape[:-2], n_rows // g, g * fat)
+    res = tuple(window.shape[2:4])  # the physical tensor is the layout truth
 
     # Split carry: the sliding WINDOW rides in the compute dtype (the
     # encoder quantizes its input to model.dtype regardless, so the
     # trajectory is bit-identical) while the Taylor expansion point u(0)
     # rides separately at full precision — exactly the fixed-lane split.
-    win0 = pack(window, model.dtype)
-    u0 = pack(window[:, -1:])
+    win0 = morton_pack_grouped(window.astype(model.dtype), ps)
+    u0 = morton_pack_grouped(window[:, -1:], ps)
 
     out0 = jnp.zeros(
-        (b, n_steps + k, n_rows // g, g * fat), dtype=out_dtype or window.dtype
+        (b, n_steps + k) + u0.shape[2:], dtype=out_dtype or window.dtype
     )
     rt_log0 = jnp.full((n_steps,), jnp.nan, dtype=jnp.float32)
 
@@ -366,5 +342,4 @@ def rollout_adaptive_eval_tante(
     _, _, out, _, rt_log, n_calls = jax.lax.while_loop(
         cond, body, (win0, u0, out0, jnp.int32(0), rt_log0, jnp.int32(0))
     )
-    y = out[:, :n_steps].reshape(b, n_steps, n_rows, fat)
-    return morton_unpack(y, ps, res), rt_log, n_calls
+    return morton_unpack_grouped(out[:, :n_steps], ps, res), rt_log, n_calls

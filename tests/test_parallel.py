@@ -408,3 +408,49 @@ def test_tp_collective_pattern():
     assert len(ar_shapes) <= 2 * n_blocks + 3, ar_shapes
     for coll in ("all-gather", "reduce-scatter", "collective-permute"):
         assert f" {coll}(" not in hlo, coll
+
+
+def test_tp_forward_matches_single_device():
+    """Default-suite tp numerics guard (the full 3-step TRAINING trajectory
+    check runs under -m slow): one tp=2 x dp=4 sharded forward must match
+    the unsharded forward to f32 tolerance — catches a value regression in
+    the Megatron partition rules without the slow train-step compile."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.parallel import batch_sharding, make_mesh, shard_params
+
+    md = TanteMetadata(
+        dataset_name="tp_fwd",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 32),
+        field_names={0: ["f"] * 3, 1: [], 2: []},
+        boundary_condition_types=["PERIODIC"],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="TH",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=True,
+        fused_blocks=False,  # the Trainer flips this under tp
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 4, 16, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    want = jax.jit(lambda p, v: model.apply(p, v))(params, x)
+
+    cpu_devices = jax.devices("cpu")[:8]
+    mesh = make_mesh(8, ("dp", "tp"), (4, 2), devices=cpu_devices)
+    with mesh:
+        p_sh = shard_params(params, mesh, enable_tp=True)
+        x_sh = jax.device_put(x, batch_sharding(mesh))
+        got = jax.jit(lambda p, v: model.apply(p, v))(p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
