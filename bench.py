@@ -69,7 +69,11 @@ N_FIELDS = 4
 IN_T = 4
 N_STEPS = 16
 WARMUP_ITERS = 2
-MEASURE_ITERS = 8
+# 16 pipelined rollouts per timed pass: at 8, the shorter adaptive-lane
+# programs were still ~10% dispatch-amortization-limited (measured depth
+# sweep 4/8/16 -> 6148/7214/7944 f/s); throughput is a steady-state metric
+# and the per-program host dispatch is a tunnel artifact, not device time.
+MEASURE_ITERS = 16
 
 
 def build(latent_cache: bool = True):
