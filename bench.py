@@ -69,11 +69,12 @@ N_FIELDS = 4
 IN_T = 4
 N_STEPS = 16
 WARMUP_ITERS = 2
-# 16 pipelined rollouts per timed pass: at 8, the shorter adaptive-lane
-# programs were still ~10% dispatch-amortization-limited (measured depth
-# sweep 4/8/16 -> 6148/7214/7944 f/s); throughput is a steady-state metric
-# and the per-program host dispatch is a tunnel artifact, not device time.
-MEASURE_ITERS = 16
+# 32 pipelined rollouts per timed pass: at 8, the shorter adaptive-lane
+# programs were ~14% dispatch-amortization-limited (measured depth sweep
+# 4/8/16/32 -> 6148/7214/7944/8347 f/s; 32 is ~98.5% of the device-time
+# ceiling).  Throughput is a steady-state metric and the ~0.5-1 ms
+# per-program host dispatch is a tunnel artifact, not device time.
+MEASURE_ITERS = 32
 
 
 def build(latent_cache: bool = True):
