@@ -121,6 +121,11 @@ class Stage(nn.Module):
             # brings the whole-model TPU compile inside a practical window
             # (the shipped config has blocks_per_stage=4 over 9 stages; the
             # unrolled form exceeded the round-2 session compile budget).
+            # NOTE checkpoint layout: depth>1 stores one depth-stacked
+            # 'blocks' collection (leading scan axis), depth==1 a single
+            # unstacked ConvNextBlock_0 — trees are per-config stable but a
+            # blocks_per_stage change is a (loudly failing) restore break,
+            # like any architecture change.
             x, _ = nn.scan(
                 _ConvNextScanCell,
                 variable_axes={"params": 0},

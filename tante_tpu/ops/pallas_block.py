@@ -322,7 +322,11 @@ def _roll_body(x, p, l, heads, stride):
         term = ef * vd
         denom = e_d if denom is None else denom + e_d
         acc = term if acc is None else acc + term
-    rec = jax.lax.dot_general(1.0 / denom, St, dn2, preferred_element_type=jnp.float32)
+    # +1e-30: all-underflow guard, bitwise invisible for normal denominators
+    # (see _kernel_body's softmax note).
+    rec = jax.lax.dot_general(
+        1.0 / (denom + 1e-30), St, dn2, preferred_element_type=jnp.float32
+    )
     attn = (acc * rec).astype(x.dtype)
 
     out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
@@ -334,14 +338,21 @@ def _roll_body(x, p, l, heads, stride):
     return x + (h2 + p.b2).astype(x.dtype)
 
 
-def canon_t_supported(t: int, h: int, w: int, c: int, heads: int, itemsize: int = 2):
+def canon_t_supported(t: int, h: int, w: int, c: int, heads: int):
     """Geometry gate for the canonical T-block kernel."""
     if os.environ.get("TANTE_CANON_T", "1") != "1":
+        return False
+    # The roll kernel only implements the fast (exp2, no-max-sub) softmax;
+    # honor the TANTE_BLOCK_SOFTMAX=safe escape hatch by falling back to
+    # the packed kernel, which has both variants.
+    if _TUNE["softmax"] != "fast":
         return False
     if t < 2 or t > 8 or c % heads or c % 128:
         return False
     m = t * h * w
-    # f32 q/k/v + rolled copies + accumulators: ~8 f32 M x C buffers.
+    # VMEM estimate is dtype-independent: q/k/v, their rolled copies and
+    # the accumulators are f32 by construction (pltpu.roll is 32-bit only)
+    # — ~8 f32 M x C buffers regardless of the activation dtype.
     return m * c * 4 * 8 <= 44 * 2**20
 
 
@@ -355,9 +366,7 @@ def fused_block_canon_t(x5, params, heads: int):
     """
     b, t, h, w, c = x5.shape
     if not _on_tpu():
-        y = x5.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-        y = _xla_block(y, params, t, heads, True)
-        return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+        return _canon_t_ref(x5, params, heads)
 
     qs = (c // heads) ** -0.5 * _LOG2E
     params = params._replace(
@@ -391,20 +400,23 @@ def fused_block_canon_t(x5, params, heads: int):
     )(x5, *params)
 
 
+def _canon_t_ref(x5, params, heads):
+    """Shared XLA reference for the canon-T kernel: off-TPU forward AND the
+    VJP recompute use this single definition, so the layout convention can
+    never drift between them."""
+    b, t, h, w, c = x5.shape
+    y = x5.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+    y = _xla_block(y, params, t, heads, True)
+    return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+
 def _canon_t_fwd(x5, params, heads):
     return fused_block_canon_t(x5, params, heads), (x5, params)
 
 
 def _canon_t_bwd(heads, res, g):
     x5, params = res
-
-    def ref(a, p):
-        b, t, h, w, c = a.shape
-        y = a.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-        y = _xla_block(y, p, t, heads, True)
-        return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
-
-    _, vjp = jax.vjp(ref, x5, params)
+    _, vjp = jax.vjp(lambda a, p: _canon_t_ref(a, p, heads), x5, params)
     return vjp(g)
 
 
@@ -588,8 +600,13 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
         # Normalize AFTER the AV matmul: the divide shrinks from (sp, sp) to
         # (sp, d) — 4x fewer elements at d=32 — and becomes one reciprocal +
         # broadcast multiply.  Same math: (U/r) @ V == (U @ V) / r row-wise.
+        # The +1e-30 is bitwise invisible whenever the denominator is normal
+        # (f32 addition absorbs it above ~1e-23) and guards the
+        # all-underflow row (every in-mask score < ~-87 nats -> denom 0 ->
+        # recip inf -> 0*inf NaN in the fast-softmax path); the degenerate
+        # row then outputs 0 attention instead of NaN.
         w_un = unnorm.astype(x.dtype)
-        recip = 1.0 / jnp.sum(unnorm, axis=-1, keepdims=True)
+        recip = 1.0 / (jnp.sum(unnorm, axis=-1, keepdims=True) + 1e-30)
         ah = jax.lax.dot_general(w_un, vh, dn_av, preferred_element_type=jnp.float32)
         ah = ah * recip
         heads_out.append(ah.astype(x.dtype))  # (b_att, sp, d)
@@ -740,24 +757,8 @@ def fused_chain_apply(x3, params_seq, axes: str, heads: int, dims):
     s, l, c = x3.shape
     b = (s * l) // m
 
-    def to5d(y3, axis):
-        if axis == "T":
-            return y3.reshape(b, hp, wp, t, c).transpose(0, 3, 1, 2, 4)
-        if axis == "H":
-            return y3.reshape(b, t, wp, hp, c).transpose(0, 1, 3, 2, 4)
-        return y3.reshape(b, t, hp, wp, c)
-
-    def from5d(x5, axis):
-        if axis == "T":
-            return x5.transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, t, c)
-        if axis == "H":
-            return x5.transpose(0, 1, 3, 2, 4).reshape(b * t * wp, hp, c)
-        return x5.reshape(b * t * hp, wp, c)
-
     if not _on_tpu():
-        x5 = to5d(x3, axes[0])
-        y5 = _xla_group(x5, tuple(params_seq), axes, heads)
-        return from5d(y5, axes[-1])
+        return _chain_ref(x3, tuple(params_seq), axes, heads, dims)
 
     import numpy as np
 
@@ -794,33 +795,36 @@ def fused_chain_apply(x3, params_seq, axes: str, heads: int, dims):
     return out.reshape(b * m // l_out, l_out, c)
 
 
+def _chain_ref(x3, params_seq, axes, heads, dims):
+    """Shared XLA reference for the sub-chain kernel (off-TPU forward and
+    VJP recompute) — one copy of the token-order convention."""
+    t, hp, wp = dims
+    m = t * hp * wp
+    s, l, c = x3.shape
+    b = (s * l) // m
+    if axes[0] == "T":
+        x5 = x3.reshape(b, hp, wp, t, c).transpose(0, 3, 1, 2, 4)
+    elif axes[0] == "H":
+        x5 = x3.reshape(b, t, wp, hp, c).transpose(0, 1, 3, 2, 4)
+    else:
+        x5 = x3.reshape(b, t, hp, wp, c)
+    y5 = _xla_group(x5, tuple(params_seq), axes, heads)
+    if axes[-1] == "T":
+        return y5.transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, t, c)
+    if axes[-1] == "H":
+        return y5.transpose(0, 1, 3, 2, 4).reshape(b * t * wp, hp, c)
+    return y5.reshape(b * t * hp, wp, c)
+
+
 def _chain_fwd(x3, params_seq, axes, heads, dims):
     return fused_chain_apply(x3, params_seq, axes, heads, dims), (x3, params_seq)
 
 
 def _chain_bwd(axes, heads, dims, res, g):
     x3, params_seq = res
-
-    def ref(a, ps):
-        # gradient recompute always takes the XLA path
-        t, hp, wp = dims
-        m = t * hp * wp
-        s, l, c = a.shape
-        b = (s * l) // m
-        if axes[0] == "T":
-            x5 = a.reshape(b, hp, wp, t, c).transpose(0, 3, 1, 2, 4)
-        elif axes[0] == "H":
-            x5 = a.reshape(b, t, wp, hp, c).transpose(0, 1, 3, 2, 4)
-        else:
-            x5 = a.reshape(b, t, hp, wp, c)
-        y5 = _xla_group(x5, tuple(ps), axes, heads)
-        if axes[-1] == "T":
-            return y5.transpose(0, 2, 3, 1, 4).reshape(b * hp * wp, t, c)
-        if axes[-1] == "H":
-            return y5.transpose(0, 1, 3, 2, 4).reshape(b * t * wp, hp, c)
-        return y5.reshape(b * t * hp, wp, c)
-
-    _, vjp = jax.vjp(ref, x3, tuple(params_seq))
+    _, vjp = jax.vjp(
+        lambda a, ps: _chain_ref(a, ps, axes, heads, dims), x3, tuple(params_seq)
+    )
     return vjp(g)
 
 

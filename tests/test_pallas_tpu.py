@@ -64,6 +64,9 @@ def test_fused_block_kernel_matches_xla_on_tpu(s, l, causal, softmax):
             ]
         ]
     )
+    from tante_tpu.ops.pallas_block import _TUNE
+
+    prev = dict(_TUNE)
     set_block_tuning(row_tile=0, softmax=softmax)
     try:
         got = jax.jit(
@@ -78,7 +81,9 @@ def test_fused_block_kernel_matches_xla_on_tpu(s, l, causal, softmax):
         # and the bulk must be much tighter than the worst element:
         assert float(np.mean(np.abs(got32 - want32))) < 5e-3
     finally:
-        set_block_tuning(row_tile=0, softmax="safe")
+        # restore the PRIOR tuning (the shipped default is 'fast'; pinning
+        # 'safe' here leaked a non-default global into later tests)
+        set_block_tuning(row_tile=prev["row_tile"] or 0, softmax=prev["softmax"])
 
 
 def test_spectral_mode_matmul_matches_xla_on_tpu():
@@ -125,6 +130,51 @@ def test_canon_t_block_matches_xla_on_tpu():
         return y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
 
     want = jax.jit(ref)(x5, params)
+    got32 = np.asarray(got, np.float32)
+    want32 = np.asarray(want, np.float32)
+    np.testing.assert_allclose(got32, want32, atol=0.05, rtol=0.02)
+    assert float(np.mean(np.abs(got32 - want32))) < 5e-3
+
+
+def test_fused_chain_matches_xla_on_tpu():
+    """Sub-chain kernel (ops/pallas_block.py:fused_chain_apply) on-chip
+    numerics vs the shared XLA reference — the opt-in path's only hardware
+    assertion (CPU tests exercise the fallback).  Small TH geometry keeps
+    the Mosaic composition compile bounded (docs/PERF.md: compile cost is
+    driven by chain composition, not tile size)."""
+    from tante_tpu.ops.pallas_block import (
+        BlockParams,
+        _chain_ref,
+        chain_fusable,
+        fused_chain_apply,
+    )
+
+    t, h, w, c, heads = 4, 8, 16, 128, 4
+    dims = (t, h, w)
+    axes = "TH"
+    assert chain_fusable(axes, dims, c, heads)
+    b = 2
+    rng = np.random.default_rng(11)
+    # input in the FIRST axis's (T) token order: (b*h*w, t, c)
+    x3 = jnp.asarray(
+        rng.normal(size=(b * h * w, t, c)).astype(np.float32), jnp.bfloat16
+    )
+    params_seq = tuple(
+        BlockParams(
+            *[
+                jnp.asarray(
+                    rng.normal(size=shape).astype(np.float32) * 0.05, jnp.bfloat16
+                )
+                for shape in [
+                    (c,), (c,), (c, c), (c,), (c, c), (c,), (c, c), (c,), (c, c),
+                    (c,), (c,), (c,), (c, c), (c,), (c, c), (c,),
+                ]
+            ]
+        )
+        for _ in axes
+    )
+    got = jax.jit(lambda a: fused_chain_apply(a, params_seq, axes, heads, dims))(x3)
+    want = jax.jit(lambda a: _chain_ref(a, params_seq, axes, heads, dims))(x3)
     got32 = np.asarray(got, np.float32)
     want32 = np.asarray(want, np.float32)
     np.testing.assert_allclose(got32, want32, atol=0.05, rtol=0.02)
