@@ -138,6 +138,9 @@ def rollout_tante_latent(
             return (lat, frames[:, -1:]), emit
 
         _, ys = jax.lax.scan(body_morton, (latents0, u0), None, length=n_calls)
+        # (A hand-composed single permutation folding the scan's (s, b)
+        # transpose into the unpack was measured at parity — XLA already
+        # composes these copies — so the readable two-step form stays.)
         y_pred = rearrange(ys, "s b k ... -> b (s k) ...")[:, :n_steps]
         return morton_unpack_grouped(y_pred, ps, res)
 
