@@ -454,3 +454,47 @@ def test_tp_forward_matches_single_device():
         x_sh = jax.device_put(x, batch_sharding(mesh))
         got = jax.jit(lambda p, v: model.apply(p, v))(p_sh, x_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_morton_rollout_under_dp_sharding():
+    """The morton latent rollout (eval/serving fast path) under a dp-sharded
+    batch must equal the unsharded rollout — its pack/unpack transposes and
+    the scan body are batch-leading, so NamedSharding shards them trivially,
+    but nothing asserted that until now."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.parallel import batch_sharding, make_mesh
+    from tante_tpu.train.rollout import rollout_tante_latent
+
+    md = TanteMetadata(
+        dataset_name="dp_morton",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 48),
+        field_names={0: ["f"] * 3, 1: [], 2: []},
+        boundary_condition_types=["PERIODIC"],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THW",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=True,
+    )
+    assert model.morton_io_ok()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 16, 48, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    want = jax.jit(lambda p, v: rollout_tante_latent(model, p, v, 5))(params, x)
+
+    mesh = make_mesh(8, ("dp", "tp"), (8, 1), devices=cpu_devices)
+    with mesh:
+        x_sh = jax.device_put(x, batch_sharding(mesh))
+        got = jax.jit(lambda p, v: rollout_tante_latent(model, p, v, 5))(params, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
