@@ -12,10 +12,86 @@ treats them as ordinary parameters.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+
+# Partial-DFT fast path: with m1*m2 kept modes far below the resolution,
+# computing ONLY those modes as dense DFT matmuls beats full rfft2/irfft2
+# by a wide margin on TPU (XLA has no native FFT — it lowers to mixed-radix
+# twiddle fusions; measured at the TR geometry these are ~70% of an FNO
+# rollout).  The matmuls contract the full H/W axes (128/384 at TR) — MXU
+# native.  Mathematically exact (same linear transform, f32 rounding
+# differs ~1e-6); the FFT path remains for large mode counts and as an
+# escape hatch (TANTE_SPECTRAL_DFT=0).
+_SPECTRAL_DFT = os.environ.get("TANTE_SPECTRAL_DFT", "1") == "1"
+
+
+def _partial_rdft_mats(h: int, w: int, m1_pos: int, m1_neg: int, m2r: int):
+    """DFT matrices for the kept-mode set: H-rows [0..m1_pos) and
+    [h-m1_neg..h), rfft W-columns [0..m2r).  All 'ortho' normalized; the
+    inverse W matrices fold the hermitian-completion factor c_l (1 for
+    l=0 and the Nyquist column, else 2), so
+
+        fwd(x)  == rfft2(x, ortho)[kept modes]
+        inv(y)  == irfft2(zero-pad(y), ortho)
+
+    exactly (up to f32 rounding)."""
+    ks = np.concatenate([np.arange(m1_pos), np.arange(h - m1_neg, h)])
+    ls = np.arange(m2r)
+    wn = np.arange(w)[:, None] * ls[None, :] * (2.0 * np.pi / w)
+    hn = np.arange(h)[:, None] * ks[None, :] * (2.0 * np.pi / h)
+    sw, sh = np.sqrt(w), np.sqrt(h)
+    fw_cos, fw_sin = np.cos(wn) / sw, np.sin(wn) / sw  # (w, m2r)
+    fh_cos, fh_sin = np.cos(hn) / sh, np.sin(hn) / sh  # (h, K)
+    c = np.full(m2r, 2.0)
+    c[0] = 1.0
+    if w % 2 == 0 and m2r - 1 == w // 2:
+        c[-1] = 1.0
+    iw_cos = (np.cos(wn) * c[None, :]).T / sw  # (m2r, w)
+    iw_sin = (np.sin(wn) * c[None, :]).T / sw
+    ih_cos, ih_sin = np.cos(hn).T / sh, np.sin(hn).T / sh  # (K, h)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return (
+        f32(fw_cos), f32(fw_sin), f32(fh_cos), f32(fh_sin),
+        f32(iw_cos), f32(iw_sin), f32(ih_cos), f32(ih_sin),
+    )
+
+
+def _partial_rdft2(x, mats):
+    """(B, H, W, C) real -> kept-mode (re, im), each (B, K, m2r, C)."""
+    fw_cos, fw_sin, fh_cos, fh_sin = mats[:4]
+    xf = x.astype(jnp.float32)
+    t_re = jnp.einsum("bhwc,wl->bhlc", xf, fw_cos)
+    t_im = -jnp.einsum("bhwc,wl->bhlc", xf, fw_sin)
+    # e^{-i theta}(a + ib) = (a cos + b sin) + i(b cos - a sin)
+    xr = jnp.einsum("bhlc,hk->bklc", t_re, fh_cos) + jnp.einsum(
+        "bhlc,hk->bklc", t_im, fh_sin
+    )
+    xi = jnp.einsum("bhlc,hk->bklc", t_im, fh_cos) - jnp.einsum(
+        "bhlc,hk->bklc", t_re, fh_sin
+    )
+    return xr, xi
+
+
+def _partial_irdft2(yr, yi, mats):
+    """Kept-mode (re, im) (B, K, m2r, C) -> (B, H, W, C) real."""
+    iw_cos, iw_sin, ih_cos, ih_sin = mats[4:]
+    # z = sum_k yhat_k e^{+2 pi i k h / H} / sqrt(H)
+    z_re = jnp.einsum("bklc,kh->bhlc", yr, ih_cos) - jnp.einsum(
+        "bklc,kh->bhlc", yi, ih_sin
+    )
+    z_im = jnp.einsum("bklc,kh->bhlc", yr, ih_sin) + jnp.einsum(
+        "bklc,kh->bhlc", yi, ih_cos
+    )
+    # y = Re{ sum_l c_l z_l e^{+2 pi i l w / W} } / sqrt(W)
+    return jnp.einsum("bhlc,lw->bhwc", z_re, iw_cos) - jnp.einsum(
+        "bhlc,lw->bhwc", z_im, iw_sin
+    )
 
 
 def spectral_conv2d(
@@ -38,9 +114,33 @@ def spectral_conv2d(
     is the scaling path for wide models.
     """
     h, w = x.shape[-3], x.shape[-2]
+    wf = w // 2 + 1
+    m1 = min(modes1, h)
+    m2 = min(modes2, wf)
+    if (
+        _SPECTRAL_DFT
+        and not use_pallas
+        and m1 > 0
+        and m2 > 0
+        and 2 * m1 <= h  # disjoint top/bottom corners
+    ):
+        # Partial-DFT fast path: compute only the 2*m1 x m2 kept modes.
+        mats = _partial_rdft_mats(h, w, m1, m1, m2)
+        xr, xi = _partial_rdft2(x, mats)
+        w_c = weight[:, :, :m1, :m2]
+        w_full = jnp.concatenate([w_c, w_c], axis=2)  # (Cin, Cout, 2m1, m2, 2)
+        w_re, w_im = w_full[..., 0], w_full[..., 1]
+        o_re = jnp.einsum("bijc,coij->bijo", xr, w_re) - jnp.einsum(
+            "bijc,coij->bijo", xi, w_im
+        )
+        o_im = jnp.einsum("bijc,coij->bijo", xr, w_im) + jnp.einsum(
+            "bijc,coij->bijo", xi, w_re
+        )
+        # f32 out, matching irfft2's return dtype on any input
+        return _partial_irdft2(o_re, o_im, mats)
+
     x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")  # (B, H, Wf, Cin)
     wf = x_ft.shape[-2]
-    m1 = min(modes1, h)
     m2 = min(modes2, wf)
     if m1 == 0 or m2 == 0:
         y_ft = jnp.zeros((*x.shape[:-1], weight.shape[1]), dtype=x_ft.dtype)
@@ -89,12 +189,30 @@ def spectral_conv2d_centered(
     x: (B, H, W, Cin); weight: (Cin, Cout, m1, m2r, 2). Returns (B, H, W, Cout).
     """
     h, w = x.shape[-3], x.shape[-2]
-    x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")
-    wf = x_ft.shape[-2]
+    wf_s = w // 2 + 1
     m1 = min(modes1, h)
-    m2r = min(modes2 // 2 + 1, wf)
+    m2r = min(modes2 // 2 + 1, wf_s)
     m1_pos = (m1 + 1) // 2
     m1_neg = m1 - m1_pos
+    if _SPECTRAL_DFT and m1 > 0 and m2r > 0 and m1_pos + m1_neg <= h:
+        # Partial-DFT fast path (see spectral_conv2d): kept rows are the
+        # m1_pos lowest positive and m1_neg lowest negative H-frequencies.
+        mats = _partial_rdft_mats(h, w, m1_pos, m1_neg, m2r)
+        xr, xi = _partial_rdft2(x, mats)
+        w_k = weight[:, :, :, :m2r]  # (Cin, Cout, m1, m2r, 2): rows already
+        # ordered [positive block, negative block] (see FFT path below)
+        w_re, w_im = w_k[..., 0], w_k[..., 1]
+        o_re = jnp.einsum("bijc,coij->bijo", xr, w_re) - jnp.einsum(
+            "bijc,coij->bijo", xi, w_im
+        )
+        o_im = jnp.einsum("bijc,coij->bijo", xr, w_im) + jnp.einsum(
+            "bijc,coij->bijo", xi, w_re
+        )
+        return _partial_irdft2(o_re, o_im, mats)
+
+    x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")
+    wf = x_ft.shape[-2]
+    m2r = min(modes2 // 2 + 1, wf)
 
     w_c = weight[..., 0] + 1j * weight[..., 1]  # (Cin, Cout, m1, m2r_full)
     w_c = w_c[:, :, :, :m2r]
