@@ -36,12 +36,40 @@ def uno_spectral_conv(
     negative H-frequency rows; returns (B, H_out, W_out, Cout).
     """
     h_out, w_out = out_hw
-    x_ft = jnp.fft.rfft2(x, axes=(1, 2), norm="forward")
-    hf, wf = x_ft.shape[1], x_ft.shape[2]
+    h, w = x.shape[1], x.shape[2]
+    hf, wf = h, w // 2 + 1
     wf_out = w_out // 2 + 1
     m1 = min(w1.shape[2], hf // 2, h_out // 2)
     m2 = min(w1.shape[3], wf, wf_out)
     c_out = w1.shape[1]
+    from tante_tpu.ops.spectral import (
+        _SPECTRAL_DFT,
+        _partial_irdft2,
+        _partial_rdft2,
+        _partial_rdft_mats,
+    )
+
+    if _SPECTRAL_DFT and m1 > 0 and m2 > 0:
+        # Partial-DFT fast path (ops/spectral.py): compute only the kept
+        # modes as dense matmuls; the inverse matrices are built for the
+        # OUTPUT resolution, which makes the resolution change free.
+        mats = _partial_rdft_mats(
+            h, w, m1, m1, m2, norm="forward", h_out=h_out, w_out=w_out
+        )
+        xr, xi = _partial_rdft2(x, mats)
+        w_cat = jnp.concatenate(
+            [w1[:, :, :m1, :m2], w2[:, :, :m1, :m2]], axis=2
+        )  # (Cin, Cout, 2m1, m2, 2)
+        w_re, w_im = w_cat[..., 0], w_cat[..., 1]
+        o_re = jnp.einsum("bijc,coij->bijo", xr, w_re) - jnp.einsum(
+            "bijc,coij->bijo", xi, w_im
+        )
+        o_im = jnp.einsum("bijc,coij->bijo", xr, w_im) + jnp.einsum(
+            "bijc,coij->bijo", xi, w_re
+        )
+        return _partial_irdft2(o_re, o_im, mats)
+
+    x_ft = jnp.fft.rfft2(x, axes=(1, 2), norm="forward")
 
     y_ft = jnp.zeros((x.shape[0], h_out, wf_out, c_out), dtype=x_ft.dtype)
     # Degenerate levels (tiny inputs drive the U topology's D/32 stage to a

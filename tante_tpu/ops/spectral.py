@@ -31,30 +31,54 @@ from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 _SPECTRAL_DFT = os.environ.get("TANTE_SPECTRAL_DFT", "1") == "1"
 
 
-def _partial_rdft_mats(h: int, w: int, m1_pos: int, m1_neg: int, m2r: int):
-    """DFT matrices for the kept-mode set: H-rows [0..m1_pos) and
-    [h-m1_neg..h), rfft W-columns [0..m2r).  All 'ortho' normalized; the
+def _partial_rdft_mats(
+    h: int,
+    w: int,
+    m1_pos: int,
+    m1_neg: int,
+    m2r: int,
+    norm: str = "ortho",
+    h_out: int | None = None,
+    w_out: int | None = None,
+):
+    """DFT matrices for the kept-mode set: H-rows [0..m1_pos) and the
+    m1_neg highest (negative) frequencies, rfft W-columns [0..m2r).  The
     inverse W matrices fold the hermitian-completion factor c_l (1 for
     l=0 and the Nyquist column, else 2), so
 
-        fwd(x)  == rfft2(x, ortho)[kept modes]
-        inv(y)  == irfft2(zero-pad(y), ortho)
+        fwd(x)  == rfft2(x, norm)[kept modes]
+        inv(y)  == irfft2(zero-pad(y), s=(h_out, w_out), norm)
 
-    exactly (up to f32 rounding)."""
-    ks = np.concatenate([np.arange(m1_pos), np.arange(h - m1_neg, h)])
+    exactly (up to f32 rounding).  ``h_out``/``w_out`` default to the
+    input size; a different output size gives the resolution-changing
+    spectral conv (UNO) — negative frequencies keep their index-from-end
+    position in the output spectrum."""
+    h_out = h if h_out is None else h_out
+    w_out = w if w_out is None else w_out
+    ks_in = np.concatenate([np.arange(m1_pos), np.arange(h - m1_neg, h)])
+    ks_out = np.concatenate([np.arange(m1_pos), np.arange(h_out - m1_neg, h_out)])
     ls = np.arange(m2r)
     wn = np.arange(w)[:, None] * ls[None, :] * (2.0 * np.pi / w)
-    hn = np.arange(h)[:, None] * ks[None, :] * (2.0 * np.pi / h)
-    sw, sh = np.sqrt(w), np.sqrt(h)
-    fw_cos, fw_sin = np.cos(wn) / sw, np.sin(wn) / sw  # (w, m2r)
-    fh_cos, fh_sin = np.cos(hn) / sh, np.sin(hn) / sh  # (h, K)
+    hn = np.arange(h)[:, None] * ks_in[None, :] * (2.0 * np.pi / h)
+    wn_o = np.arange(w_out)[:, None] * ls[None, :] * (2.0 * np.pi / w_out)
+    hn_o = np.arange(h_out)[:, None] * ks_out[None, :] * (2.0 * np.pi / h_out)
+    if norm == "ortho":
+        fsw, fsh = np.sqrt(w), np.sqrt(h)
+        isw, ish = np.sqrt(w_out), np.sqrt(h_out)
+    elif norm == "forward":  # rfft2 scales by 1/N, irfft2 by 1
+        fsw, fsh = w, h
+        isw, ish = 1.0, 1.0
+    else:
+        raise ValueError(norm)
+    fw_cos, fw_sin = np.cos(wn) / fsw, np.sin(wn) / fsw  # (w, m2r)
+    fh_cos, fh_sin = np.cos(hn) / fsh, np.sin(hn) / fsh  # (h, K)
     c = np.full(m2r, 2.0)
     c[0] = 1.0
-    if w % 2 == 0 and m2r - 1 == w // 2:
+    if w_out % 2 == 0 and m2r - 1 == w_out // 2:
         c[-1] = 1.0
-    iw_cos = (np.cos(wn) * c[None, :]).T / sw  # (m2r, w)
-    iw_sin = (np.sin(wn) * c[None, :]).T / sw
-    ih_cos, ih_sin = np.cos(hn).T / sh, np.sin(hn).T / sh  # (K, h)
+    iw_cos = (np.cos(wn_o) * c[None, :]).T / isw  # (m2r, w_out)
+    iw_sin = (np.sin(wn_o) * c[None, :]).T / isw
+    ih_cos, ih_sin = np.cos(hn_o).T / ish, np.sin(hn_o).T / ish  # (K, h_out)
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     return (
         f32(fw_cos), f32(fw_sin), f32(fh_cos), f32(fh_sin),

@@ -426,3 +426,34 @@ def test_canon_t_block_cpu_fallback_and_grads():
     assert canon_t_supported(4, 16, 48, 256, 8)
     assert not canon_t_supported(4, 16, 48, 96, 8)   # c % 128
     assert not canon_t_supported(16, 16, 48, 256, 8)  # t too long
+
+
+def test_partial_dft_spectral_matches_fft():
+    """The partial-DFT fast path (ops/spectral.py:_SPECTRAL_DFT) must equal
+    the rfft2 -> truncate -> irfft2 formulation to f32 rounding, across
+    even/odd sizes and Nyquist-edge mode counts, for both mode-selection
+    variants."""
+    import tante_tpu.ops.spectral as sp
+
+    rng = np.random.default_rng(0)
+
+    def check(fn, h, w, m1, m2, wshape):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 5)).astype(np.float32))
+        wt = jnp.asarray(rng.normal(size=wshape).astype(np.float32) * 0.1)
+        prev = sp._SPECTRAL_DFT
+        try:
+            sp._SPECTRAL_DFT = False
+            want = fn(x, wt, m1, m2)
+            sp._SPECTRAL_DFT = True
+            got = fn(x, wt, m1, m2)
+        finally:
+            sp._SPECTRAL_DFT = prev
+        rel = float(jnp.max(jnp.abs(want - got))) / (
+            float(jnp.max(jnp.abs(want))) + 1e-9
+        )
+        assert rel < 2e-5, (fn.__name__, h, w, m1, m2, rel)
+
+    for h, w, m1, m2 in [(16, 48, 4, 6), (17, 33, 5, 7), (32, 64, 16, 33)]:
+        check(sp.spectral_conv2d, h, w, m1, m2, (5, 7, m1, m2, 2))
+    for h, w, m1, m2 in [(16, 48, 5, 6), (17, 33, 7, 8), (32, 64, 15, 64)]:
+        check(sp.spectral_conv2d_centered, h, w, m1, m2, (5, 7, m1, m2 // 2 + 1, 2))
