@@ -143,13 +143,28 @@ class AFNO(nn.Module):
                 sparsity_threshold=self.sparsity_threshold,
                 dtype=self.dtype,
             )(z)
-        z = nn.ConvTranspose(
-            c,
-            kernel_size=patch,
-            strides=patch,
-            padding="VALID",
-            kernel_init=trunc02,
-            dtype=self.dtype,
-            name="patch_debed",
-        )(z)
+        if len(patch) == 2:
+            # Clean stride==kernel de-patch: matmul + depth-to-space instead
+            # of XLA's input-dilated conv_transpose lowering (measured 10x+
+            # slower on DPOT's identical op; parameter-compatible).
+            from tante_tpu.ops.convs import _PatchDenseTranspose
+
+            z = _PatchDenseTranspose(
+                features=c,
+                patch=tuple(patch),
+                dtype=self.dtype,
+                kernel_init=trunc02,
+                bias_init=nn.initializers.zeros,  # nn.ConvTranspose default
+                name="patch_debed",
+            )(z)
+        else:
+            z = nn.ConvTranspose(
+                c,
+                kernel_size=patch,
+                strides=patch,
+                padding="VALID",
+                kernel_init=trunc02,
+                dtype=self.dtype,
+                name="patch_debed",
+            )(z)
         return z[:, None]  # (B, 1, *spatial, C)

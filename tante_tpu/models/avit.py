@@ -261,6 +261,10 @@ class HMLPOutput(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # NOTE: the _PatchDenseTranspose swap (see models/dpot.py) was
+        # measured HERE and reverted: at hMLP_output's small kernels and
+        # thin channels the depth-to-space transposes cost more than XLA's
+        # dilated-conv lowering (1542 -> 1400 f/s end-to-end).
         e4 = self.embed_dim // 4
         x = nn.ConvTranspose(e4, (2, 2), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
         x = RMSInstanceNorm(e4)(x)

@@ -251,13 +251,19 @@ class DPOT(nn.Module):
         cls = act(cls)
         _ = nn.Dense(self.n_cls, kernel_init=trunc02, dtype=self.dtype, name="cls_out")(cls)
 
-        y = nn.ConvTranspose(
-            self.out_layer_dim,
-            kernel_size=(p, p),
-            strides=(p, p),
-            padding="VALID",
-            kernel_init=trunc02,
+        # Stride == kernel, VALID: the de-patch ConvTranspose is a clean
+        # matmul + depth-to-space.  XLA's conv_transpose lowering (reverse +
+        # input-dilated conv) ran this ONE op at 12.8 ms/call at the TR
+        # geometry — 92% of a DPOT forward; the dense form is exact and
+        # parameter-compatible (same kernel/bias names and shapes).
+        from tante_tpu.ops.convs import _PatchDenseTranspose
+
+        y = _PatchDenseTranspose(
+            features=self.out_layer_dim,
+            patch=(p, p),
             dtype=self.dtype,
+            kernel_init=trunc02,
+            bias_init=nn.initializers.zeros,  # nn.ConvTranspose's default
             name="out_deconv",
         )(z)
         y = act(y)

@@ -139,6 +139,8 @@ class Stage(nn.Module):
             x = _conv(self.dim_out, 2, stride=2, dtype=self.dtype, c_in=self.dim_in, name="down")(x)
         elif self.mode == "up":
             x = ChannelL2Norm()(x)
+            # (_PatchDenseTranspose swap measured at parity here — 2x2
+            # kernels are cheap either way; kept as nn.ConvTranspose.)
             x = nn.ConvTranspose(
                 self.dim_out,
                 kernel_size=(2, 2),

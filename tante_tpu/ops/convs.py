@@ -12,7 +12,7 @@ Layout: NHWC in, NHWC out (no NCHW transposes anywhere).
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Any, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -240,13 +240,20 @@ class _PatchDenseTranspose(nn.Module):
     # packed_out; each row carries ``group`` input pixels and emits
     # group*p*p*features packed output channels via kron(I_g, W).
     group: int = 1
+    # Initializers default to the torch-parity forms; callers replacing an
+    # nn.ConvTranspose with different inits (e.g. DPOT's trunc_normal)
+    # override to stay checkpoint-compatible.
+    kernel_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p_h, p_w = self.patch
         c_in = x.shape[-1] // self.group
         kernel = self.param(
-            "kernel", torch_kernel_init, (p_h, p_w, c_in, self.features)
+            "kernel",
+            self.kernel_init or torch_kernel_init,
+            (p_h, p_w, c_in, self.features),
         )
         # (ph, pw, ci, co) -> (ci, ph*pw*co): each input pixel expands to a
         # (ph, pw) patch of co-channel outputs.  lax.conv_transpose (flax's
@@ -265,7 +272,9 @@ class _PatchDenseTranspose(nn.Module):
         y = x.astype(self.dtype) @ wmat
         if self.use_bias:
             bias = self.param(
-                "bias", torch_bias_init(c_in * p_h * p_w), (self.features,)
+                "bias",
+                self.bias_init or torch_bias_init(c_in * p_h * p_w),
+                (self.features,),
             )
         else:
             bias = None
