@@ -343,3 +343,24 @@ def test_uno_small_resolution_degenerate_levels():
     _, y = _run(model, x_shape=(2, 4, 32, 64, 3))
     assert y.shape == (2, 1, 32, 64, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_patch_dense_transpose_equals_conv_transpose():
+    """_PatchDenseTranspose (the dense de-patch head used by DPOT/AFNO)
+    must be bit-equivalent to nn.ConvTranspose at stride == kernel, VALID
+    padding — incl. DPOT's 32x32 geometry where XLA's conv_transpose
+    lowering was 10x+ slower (docs/PERF.md)."""
+    import flax.linen as nn
+
+    from tante_tpu.ops.convs import _PatchDenseTranspose
+
+    rng = np.random.default_rng(0)
+    for p, cin, co in [(32, 12, 6), (16, 24, 8), (8, 10, 3), (2, 5, 3)]:
+        x = jnp.asarray(rng.normal(size=(2, 4, 6, cin)).astype(np.float32))
+        ref = nn.ConvTranspose(co, kernel_size=(p, p), strides=(p, p), padding="VALID")
+        v = ref.init(jax.random.PRNGKey(0), x)
+        want = ref.apply(v, x)
+        got = _PatchDenseTranspose(features=co, patch=(p, p)).apply(
+            {"params": dict(v["params"])}, x
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
