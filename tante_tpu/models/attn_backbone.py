@@ -18,7 +18,7 @@ sizes, and each attention call is a dense batched matmul for the MXU.
 from __future__ import annotations
 
 import os
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -81,12 +81,10 @@ class AttnBackbone(nn.Module):
     dropout: float = 0.0
     # Fused Pallas block kernel (ops/pallas_block.py): ~2x faster backbone
     # on a single TPU chip; automatically falls back to identical XLA math
-    # off-TPU.  Set False under tensor parallelism (the kernel cannot be
-    # SPMD-partitioned; XLA math shards fine).
-    # fused=False selects the identical XLA block math; the parameter tree
-    # is the flat FusedTransformerBlock layout EITHER WAY, so checkpoints
-    # are interchangeable between fused, non-fused and tensor-parallel
-    # runs (the Trainer flips this flag under tp).
+    # off-TPU.  fused=False selects the identical XLA block math; the
+    # parameter tree is the flat FusedTransformerBlock layout EITHER WAY,
+    # so checkpoints are interchangeable between fused, non-fused and
+    # tensor-parallel runs.
     fused: bool = True
     # Whole-chain group fusion (one kernel per batch element, in-VMEM token
     # re-orders between blocks).  Validated numerically on-device, but the
@@ -101,6 +99,12 @@ class AttnBackbone(nn.Module):
     # matmul.  0 disables.  Unlike fused_group, compile cost stays bounded
     # (one kernel per run length actually used).
     fused_chain: int = 0
+    # Tensor parallelism: when set (a jax.sharding.Mesh with a 'tp' axis),
+    # blocks run the Megatron-split fused kernel under shard_map
+    # (ops/pallas_block.py:fused_block_apply_tp) — tp keeps the kernel win
+    # instead of falling back to XLA block math.  Group/chain/canonical-T
+    # kernels are single-device-only and are bypassed under tp.
+    tp_mesh: Any = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +130,9 @@ class AttnBackbone(nn.Module):
         channel_index = 0
 
         def block_cls(**kw):
-            return FusedTransformerBlock(use_kernel=self.fused, **kw)
+            return FusedTransformerBlock(
+                use_kernel=self.fused, tp_mesh=self.tp_mesh, **kw
+            )
 
         # Group fusion: a pure T/H/W chain (the flagship THWTHWTHW) runs as
         # ONE Pallas kernel per batch element — blocks back to back in VMEM
@@ -139,6 +145,7 @@ class AttnBackbone(nn.Module):
         if (
             self.fused
             and self.fused_group
+            and self.tp_mesh is None
             and (deterministic or self.dropout == 0.0)
             and group_fusable(
                 axes, (t, h, w), c, self.n_head, jnp.dtype(self.dtype).itemsize
@@ -163,6 +170,7 @@ class AttnBackbone(nn.Module):
         use_chain = (
             self.fused
             and self.fused_chain >= 2
+            and self.tp_mesh is None
             and (deterministic or self.dropout == 0.0)
         )
 
@@ -220,6 +228,7 @@ class AttnBackbone(nn.Module):
 
                 if (
                     self.fused
+                    and self.tp_mesh is None
                     and (deterministic or self.dropout == 0.0)
                     and canon_t_supported(t, h, w, c, self.n_head)
                 ):

@@ -8,7 +8,7 @@ time series (``models/tante.py:232-285``), plus a torch-default Dense/MLP.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -109,10 +109,15 @@ class FusedTransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     # False selects the identical XLA formulation while KEEPING the flat
-    # param tree — the backbone uses this under tensor parallelism (the
-    # kernel cannot be SPMD-partitioned) so tp and single-chip checkpoints
+    # param tree — so fused, non-fused and tensor-parallel checkpoints
     # stay interchangeable.
     use_kernel: bool = True
+    # Tensor parallelism: a jax.sharding.Mesh with a 'tp' axis.  When set,
+    # the block runs the Megatron-split fused kernel under shard_map
+    # (ops/pallas_block.py:fused_block_apply_tp): the two half kernels per
+    # tp shard with one psum after each — tp keeps the kernel win instead
+    # of forfeiting it to the XLA fallback.
+    tp_mesh: Any = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -164,6 +169,12 @@ class FusedTransformerBlock(nn.Module):
         l = x.shape[-2]
 
         if self.use_kernel and (deterministic or self.dropout == 0.0):
+            if self.tp_mesh is not None:
+                from tante_tpu.ops.pallas_block import fused_block_apply_tp
+
+                return fused_block_apply_tp(
+                    x, params, l, self.n_head, causal, self.tp_mesh
+                )
             return fused_block_apply(x, params, l, self.n_head, causal)
 
         # XLA path: identical math, with the reference's three dropout

@@ -32,7 +32,7 @@ which crashes for any batch; the intended per-sample token FiLM (the
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -90,12 +90,18 @@ class TANTE(nn.Module):
     patch_scale: int = 32
     overlap_ratio: float = 0.0
     deg: bool = True
-    # Fused Pallas transformer-block kernel (see models/attn_backbone.py);
-    # disable under tensor parallelism (the Trainer does this automatically).
+    # Fused Pallas transformer-block kernel (see models/attn_backbone.py).
+    # Under tensor parallelism the Trainer keeps it via the Megatron-split
+    # tp kernel (tp_mesh below) when the geometry shards evenly.
     fused_blocks: bool = True
     # Sub-chain fusion length (models/attn_backbone.py:fused_chain): runs of
     # up to N consecutive T/H/W blocks share one Pallas kernel.  0 = off.
     fused_chain: int = 0
+    # Tensor parallelism: a Mesh with a 'tp' axis.  The Trainer sets this
+    # (instead of disabling fused_blocks) when the geometry shards evenly —
+    # blocks then run the Megatron-split fused kernel under shard_map
+    # (ops/pallas_block.py:fused_block_apply_tp).
+    tp_mesh: Any = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -167,6 +173,7 @@ class TANTE(nn.Module):
                 dropout=self.dropout,
                 fused=self.fused_blocks,
                 fused_chain=self.fused_chain,
+                tp_mesh=self.tp_mesh,
                 dtype=self.dtype,
             )
             for block_axes in self.blocks_axes

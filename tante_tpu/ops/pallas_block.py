@@ -215,29 +215,37 @@ def fused_block_apply(
     """
     if _on_tpu():
         s, l_, c = x.shape
-        sp_factor = default_seq_pack(l)
-        # the packed batch must divide evenly; shrink the pack if not
-        while (s * l) % (sp_factor * l) != 0:
-            sp_factor //= 2
-        sp = sp_factor * l
-        if _TUNE["row_tile"]:
-            # keep the packed-sequence divisibility invariant
-            row_tile = max(sp, _TUNE["row_tile"] // sp * sp)
-        else:
-            row_tile = default_row_tile(c, sp)
-            # Snap to a divisor of the row count when one is close: avoids
-            # the XLA pad+slice copies around every kernel call (2 extra
-            # HBM passes of the activation).
-            m_rows = s * l
-            if m_rows % row_tile:
-                for cand in (2048, 1536, 1024, 768, 512):
-                    if cand % sp == 0 and m_rows % cand == 0 and cand <= 2 * row_tile:
-                        row_tile = cand
-                        break
+        sp_factor, row_tile = _tile_plan(s, l, c)
         x2 = x.reshape(s * l, c)
         out = _pallas_block(x2, params, l, heads, causal, sp_factor, row_tile)
         return out.reshape(s, l, c)
     return _xla_block(x, params, l, heads, causal)
+
+
+def _tile_plan(s: int, l: int, c: int) -> tuple[int, int]:
+    """(seq_pack factor, row tile) for an (s, l, c) block input — the
+    heuristics + divisor snapping shared by the fused kernel and its
+    tensor-parallel halves."""
+    sp_factor = default_seq_pack(l)
+    # the packed batch must divide evenly; shrink the pack if not
+    while (s * l) % (sp_factor * l) != 0:
+        sp_factor //= 2
+    sp = sp_factor * l
+    if _TUNE["row_tile"]:
+        # keep the packed-sequence divisibility invariant
+        row_tile = max(sp, _TUNE["row_tile"] // sp * sp)
+    else:
+        row_tile = default_row_tile(c, sp)
+        # Snap to a divisor of the row count when one is close: avoids
+        # the XLA pad+slice copies around every kernel call (2 extra
+        # HBM passes of the activation).
+        m_rows = s * l
+        if m_rows % row_tile:
+            for cand in (2048, 1536, 1024, 768, 512):
+                if cand % sp == 0 and m_rows % cand == 0 and cand <= 2 * row_tile:
+                    row_tile = cand
+                    break
+    return sp_factor, row_tile
 
 
 def _fwd(x, params, l, heads, causal):
@@ -533,9 +541,15 @@ def _group_kernel(axes, heads, dims, perm_ids, final_id, n_perms, x_ref, *refs):
 _LOG2E = 1.4426950408889634
 
 
-def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
-    """One block's math on an (M, C) VMEM tensor. Same formulation as
-    ``_kernel``; returns the block output.
+def _attn_half_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
+    """LN1 + qkv + per-head attention + out-projection DOT on an (M, C)
+    VMEM tensor; returns the f32 partial ``(M, wo.shape[-1])`` BEFORE the
+    ``bo`` bias / residual add (the caller owns those — under tensor
+    parallelism a psum sits between).
+
+    ``p`` may be a tensor-parallel shard: the attention width is taken from
+    ``wq.shape[-1]`` (= C/tp lanes projected from full-C tokens) and
+    ``heads`` is the LOCAL head count; see ``fused_block_apply_tp``.
 
     ``q_prescaled``: the caller already folded ``d**-0.5 * log2(e)`` into
     ``wq``/``bq`` (see ``_pallas_block``), so scores arrive in log2 units —
@@ -544,8 +558,8 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
     2^(s*log2e) / sum(2^(s*log2e)).
     """
     m_rows = x.shape[0]
-    c = x.shape[-1]
-    d = c // heads
+    c_att = p.wq.shape[-1]
+    d = c_att // heads
     sp = seq_pack * l
     b_att = m_rows // sp
 
@@ -582,9 +596,9 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
     dn_av = (((2,), (1,)), ((0,), (0,)))
     # One sublane reshape per tensor (instead of one per head-slice): heads
     # are then plain lane slices of the 3-D views.
-    q3 = q.reshape(b_att, sp, c)
-    k3 = k.reshape(b_att, sp, c)
-    v3 = v.reshape(b_att, sp, c)
+    q3 = q.reshape(b_att, sp, c_att)
+    k3 = k.reshape(b_att, sp, c_att)
+    v3 = v.reshape(b_att, sp, c_att)
     heads_out = []
     for h in range(heads):
         qh = q3[:, :, h * d : (h + 1) * d]
@@ -610,16 +624,274 @@ def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
         ah = jax.lax.dot_general(w_un, vh, dn_av, preferred_element_type=jnp.float32)
         ah = ah * recip
         heads_out.append(ah.astype(x.dtype))  # (b_att, sp, d)
-    attn = jnp.concatenate(heads_out, axis=2).reshape(m_rows, c)
+    attn = jnp.concatenate(heads_out, axis=2).reshape(m_rows, c_att)
 
-    out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
-    x = x + (out + p.bo).astype(x.dtype)
+    return jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
 
-    yn = _ln(x, p.ln2_scale, p.ln2_bias)
+
+def _mlp_half_body(x2, p):
+    """LN2 + fc1 + tanh-GELU + fc2 DOT on an (M, C) VMEM tensor; returns
+    the f32 partial ``(M, w2.shape[-1])`` BEFORE the ``b2`` bias / residual
+    add.  ``p`` may be a tensor-parallel shard of the hidden dim (``w1``
+    column- and ``w2`` row-sharded; ``b1`` sharded with the hidden dim)."""
+    dn2 = (((1,), (0,)), ((), ()))
+    yn = _ln(x2, p.ln2_scale, p.ln2_bias)
     h1 = jax.lax.dot_general(yn, p.w1, dn2, preferred_element_type=jnp.float32)
-    h1 = _gelu_tanh_f32(h1 + p.b1).astype(x.dtype)
-    h2 = jax.lax.dot_general(h1, p.w2, dn2, preferred_element_type=jnp.float32)
+    h1 = _gelu_tanh_f32(h1 + p.b1).astype(x2.dtype)
+    return jax.lax.dot_general(h1, p.w2, dn2, preferred_element_type=jnp.float32)
+
+
+def _kernel_body(x, p, l, heads, seq_pack, causal, q_prescaled=False):
+    """One block's math on an (M, C) VMEM tensor. Same formulation as
+    ``_kernel``; returns the block output.  Composes the two halves the
+    tensor-parallel path runs as separate kernels — bitwise the pre-split
+    formulation (the halves return the pre-bias f32 dots and the residual
+    adds here are unchanged)."""
+    out = _attn_half_body(x, p, l, heads, seq_pack, causal, q_prescaled)
+    x = x + (out + p.bo).astype(x.dtype)
+    h2 = _mlp_half_body(x, p)
     return x + (h2 + p.b2).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel fused block: the Megatron split of the SAME kernel.
+#
+# Under tp the block factors naturally into its two halves around the two
+# all-reduces the Megatron layout requires (parallel/sharding.py): each
+# device runs (a) LN1 + its local qkv head shard + attention + the
+# out-projection partial dot, psum; (b) LN2 + its local MLP hidden shard +
+# the fc2 partial dot, psum.  Both halves run as Pallas kernels on the
+# device-local shapes — tp no longer forfeits the fused kernel (the round-2
+# design cloned ``fused_blocks=False`` under tp, a measured ~2.9x
+# single-chip backbone loss, docs/PERF.md).  The psums ride ICI at the XLA
+# level between the two kernel launches; the comm pattern stays the asserted
+# 2 all-reduces per block (tests/test_parallel.py::test_tp_collective_pattern).
+#
+# Reference counterpart: the reference has no tensor parallelism at all
+# (its DDP is data-parallel only, trainer/trainer.py:60-98); this is the
+# TPU-native extension of its block math to sharded execution.
+# ---------------------------------------------------------------------------
+
+
+class AttnHalfParams(NamedTuple):
+    ln1_scale: jnp.ndarray
+    ln1_bias: jnp.ndarray
+    wq: jnp.ndarray
+    bq: jnp.ndarray
+    wk: jnp.ndarray
+    bk: jnp.ndarray
+    wv: jnp.ndarray
+    bv: jnp.ndarray
+    wo: jnp.ndarray
+
+
+class MlpHalfParams(NamedTuple):
+    ln2_scale: jnp.ndarray
+    ln2_bias: jnp.ndarray
+    w1: jnp.ndarray
+    b1: jnp.ndarray
+    w2: jnp.ndarray
+
+
+def _attn_half_kernel(l, heads, seq_pack, causal, x_ref, *refs):
+    p = AttnHalfParams(*[r[:] for r in refs[:-1]])
+    o_ref = refs[-1]
+    o_ref[:] = _attn_half_body(
+        x_ref[:], p, l, heads, seq_pack, causal, q_prescaled=True
+    ).astype(o_ref.dtype)
+
+
+def _mlp_half_kernel(x_ref, *refs):
+    p = MlpHalfParams(*[r[:] for r in refs[:-1]])
+    o_ref = refs[-1]
+    o_ref[:] = _mlp_half_body(x_ref[:], p).astype(o_ref.dtype)
+
+
+def _pallas_rowtile(kernel_fn, x2, weights, out_cols, row_tile):
+    """Row-tiled pallas_call shared by the two tp half kernels: (M, C) in,
+    (M, out_cols) partial out IN THE ACTIVATION DTYPE (the partial is one
+    f32-accumulated dot rounded once — same rounding class as every other
+    bf16 activation, and it halves both the extra HBM round-trip and the
+    psum volume vs f32 partials; f32 models keep exact f32 partials),
+    weights resident across the grid."""
+    m_total, c = x2.shape
+    m_pad = (m_total + row_tile - 1) // row_tile * row_tile
+    if m_pad != m_total:
+        x2 = jnp.pad(x2, ((0, m_pad - m_total), (0, 0)))
+    grid = (m_pad // row_tile,)
+    xspec = pl.BlockSpec((row_tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((row_tile, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        kernel_fn,
+        grid=grid,
+        in_specs=[xspec] + [wspec(a.shape) for a in weights],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, out_cols), x2.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20),
+    )(x2, *weights)
+    return out[:m_total]
+
+
+def _xla_attn_half(x, p, l, heads, causal):
+    """The attention half in plain XLA on (rows, l, C) — the `_xla_block`
+    formulation cut at the out-projection dot; returns the f32 partial."""
+    c_att = p.wq.shape[-1]
+    d = c_att // heads
+    xn = _ln(x, p.ln1_scale, p.ln1_bias)
+    q = ((xn @ p.wq.astype(x.dtype)) + p.bq.astype(x.dtype)) * (d**-0.5)
+    k = (xn @ p.wk.astype(x.dtype)) + p.bk.astype(x.dtype)
+    v = (xn @ p.wv.astype(x.dtype)) + p.bv.astype(x.dtype)
+
+    def split(t):
+        return t.reshape(*t.shape[:-1], heads, d)
+
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32)
+    if causal:
+        m = jnp.tril(jnp.ones((l, l), dtype=bool))
+        logits = jnp.where(m, logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    attn = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(*x.shape[:-1], c_att)
+    return attn @ p.wo.astype(x.dtype)
+
+
+def _xla_mlp_half(x2, p):
+    """The MLP half in plain XLA; returns the f32 partial."""
+    yn = _ln(x2, p.ln2_scale, p.ln2_bias)
+    h1 = ((yn @ p.w1.astype(x2.dtype)) + p.b1.astype(x2.dtype)).astype(jnp.float32)
+    h1 = _gelu_tanh_f32(h1).astype(x2.dtype)
+    return h1 @ p.w2.astype(x2.dtype)
+
+
+def tp_fusable(c: int, heads: int, hidden: int, tp: int) -> bool:
+    """Whether the block geometry splits evenly over ``tp`` shards."""
+    return (
+        tp >= 1
+        and heads % tp == 0
+        and c % tp == 0
+        and hidden % tp == 0
+        and (c // tp) % (heads // tp) == 0
+    )
+
+
+_ATTN_FIELDS = AttnHalfParams._fields
+_MLP_FIELDS = MlpHalfParams._fields
+
+
+def _tp_block_impl(x, params: BlockParams, l, heads, causal, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape))["tp"]
+    hidden = params.w1.shape[-1]
+    c_full = x.shape[-1]
+    if tp == 1 or not tp_fusable(c_full, heads, hidden, tp):
+        # Geometry doesn't shard evenly (e.g. a channel-axis block with an
+        # odd expanded width): run the unsplit math and let the jit
+        # partitioner place it.  Same value either way.
+        if _on_tpu():
+            s, l_, c = x.shape
+            sp_factor, row_tile = _tile_plan(s, l, c)
+            out = _pallas_block(
+                x.reshape(s * l, c), params, l, heads, causal, sp_factor, row_tile
+            )
+            return out.reshape(s, l, c)
+        return _xla_block(x, params, l, heads, causal)
+
+    heads_l = heads // tp
+    dp = "dp" if "dp" in mesh.axis_names else None
+    # Keep the rows dp-sharded through the kernel whenever they divide
+    # evenly (rows carry the batch outermost); otherwise replicate — the
+    # spec is a static per-trace choice.
+    dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
+    rows_axis = dp if (dp and x.shape[0] % dp_size == 0) else None
+    x_spec = P(rows_axis, None, None)
+
+    def col(a):
+        return P(*([None] * (a.ndim - 1) + ["tp"]))
+
+    def row(a):
+        return P(*(["tp"] + [None] * (a.ndim - 1)))
+
+    def rep(a):
+        return P(*([None] * a.ndim))
+
+    spec_of = dict(
+        wq=col, bq=col, wk=col, bk=col, wv=col, bv=col, wo=row,
+        w1=col, b1=col, w2=row,
+    )
+    p_specs = BlockParams(
+        **{
+            f: spec_of.get(f, rep)(getattr(params, f))
+            for f in BlockParams._fields
+        }
+    )
+
+    def body(xl, pl_):
+        s, l_, c = xl.shape
+        ap = AttnHalfParams(*(getattr(pl_, f) for f in _ATTN_FIELDS))
+        mp = MlpHalfParams(*(getattr(pl_, f) for f in _MLP_FIELDS))
+        if _on_tpu():
+            sp_factor, row_tile = _tile_plan(s, l_, c)
+            qs = (c // heads) ** -0.5 * _LOG2E
+            ap = ap._replace(
+                wq=(ap.wq.astype(jnp.float32) * qs).astype(ap.wq.dtype),
+                bq=(ap.bq.astype(jnp.float32) * qs).astype(ap.bq.dtype),
+            )
+            x2 = xl.reshape(s * l_, c)
+            out = _pallas_rowtile(
+                functools.partial(
+                    _attn_half_kernel, l_, heads_l, sp_factor, causal
+                ),
+                x2, ap, c, row_tile,
+            )
+            out = jax.lax.psum(out, "tp")
+            xm = x2 + (out + pl_.bo).astype(x2.dtype)
+            h2 = _pallas_rowtile(_mlp_half_kernel, xm, mp, c, row_tile)
+            h2 = jax.lax.psum(h2, "tp")
+            y = xm + (h2 + pl_.b2).astype(x2.dtype)
+            return y.reshape(s, l_, c)
+        out = jax.lax.psum(_xla_attn_half(xl, ap, l_, heads_l, causal), "tp")
+        xm = xl + (out + pl_.bo).astype(xl.dtype)
+        h2 = jax.lax.psum(_xla_mlp_half(xm, mp), "tp")
+        return xm + (h2 + pl_.b2).astype(xl.dtype)
+
+    f = jax.shard_map(
+        body, mesh=mesh, in_specs=(x_spec, p_specs), out_specs=x_spec
+    )
+    return f(x, params)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_block_apply_tp(
+    x: jnp.ndarray, params: BlockParams, l: int, heads: int, causal: bool, mesh
+) -> jnp.ndarray:
+    """(rows, L, C) -> (rows, L, C) full transformer block, tensor-parallel.
+
+    Forward: the two Megatron half kernels per tp shard with a psum after
+    each (XLA half math off-TPU).  Gradients: XLA recompute of the unsplit
+    block (`_xla_block`), partitioned by jit from the params' NamedShardings
+    — the same recompute policy as `fused_block_apply`.
+    """
+    return _tp_block_impl(x, params, l, heads, causal, mesh)
+
+
+def _tp_fwd(x, params, l, heads, causal, mesh):
+    return fused_block_apply_tp(x, params, l, heads, causal, mesh), (x, params)
+
+
+def _tp_bwd(l, heads, causal, mesh, res, g):
+    x, params = res
+    _, vjp = jax.vjp(lambda a, p: _xla_block(a, p, l, heads, causal), x, params)
+    return vjp(g)
+
+
+fused_block_apply_tp.defvjp(_tp_fwd, _tp_bwd)
 
 
 def _xla_group(x5, params_seq, axes, heads):

@@ -17,11 +17,16 @@ per transformer block (post attention-out, post MLP-fc2) and zero
 all-gathers/reduce-scatters/collective-permutes
 (``tests/test_parallel.py::test_tp_collective_pattern`` inspects the HLO;
 XLA additionally distributes the three tiny axis-propagator einsum
-contractions, bounded in the same test).  Cost note: tp runs forfeit the
-fused Pallas block kernel (the Trainer clones ``fused_blocks=False``) —
-per block the HLO grows from 1 fused custom-call to ~14 XLA ops, the
-measured ~2x single-chip backbone difference (docs/PERF.md); the tp win
-must amortize that before it pays.
+contractions, bounded in the same test).
+
+tp KEEPS the fused Pallas block kernel (round-3): the block splits at its
+two all-reduce points into Megatron half kernels that run per tp shard
+under shard_map (ops/pallas_block.py:fused_block_apply_tp; the Trainer
+clones ``tp_mesh=mesh`` when the geometry shards evenly, else falls back
+to ``fused_blocks=False`` + SPMD-partitioned XLA math).  Measured on-chip
+at flagship-ish geometry (scripts/tp_half_kernels_onchip.py): the tp=2
+per-shard half kernels run 1.36x faster than the per-shard XLA block math
+the round-2 forfeit design would execute.
 """
 
 from __future__ import annotations

@@ -104,14 +104,28 @@ class Trainer:
             self.model = model.clone(dtype=jnp.bfloat16)
         else:
             self.model = model
-        # The fused Pallas block kernel cannot be SPMD-partitioned over a
-        # 'tp' axis; fall back to the (shardable) XLA block math there.
+        # Tensor parallelism + the fused block kernel: when the geometry
+        # shards evenly, blocks run the Megatron-split fused kernel under
+        # shard_map (ops/pallas_block.py:fused_block_apply_tp) — the two
+        # half kernels per tp shard with one psum after each, so tp keeps
+        # the ~2x kernel win (docs/PERF.md round-2 forfeit, now closed).
+        # Uneven geometries fall back to the identical XLA block math,
+        # which XLA's SPMD partitioner shards from the param NamedShardings.
         if (
             mesh is not None
             and dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1) > 1
             and getattr(self.model, "fused_blocks", False)
         ):
-            self.model = self.model.clone(fused_blocks=False)
+            from tante_tpu.ops.pallas_block import tp_fusable
+
+            tp = dict(zip(mesh.axis_names, mesh.devices.shape))["tp"]
+            c = getattr(self.model, "embed_dim", 0)
+            heads = getattr(self.model, "n_head", 1)
+            hidden = int(c * getattr(self.model, "mlp_ratio", 1.0))
+            if tp_fusable(c, heads, hidden, tp) and hasattr(self.model, "tp_mesh"):
+                self.model = self.model.clone(tp_mesh=mesh)
+            else:
+                self.model = self.model.clone(fused_blocks=False)
 
         self.rng = np.random.default_rng(seed)
         self.root_key = jax.random.PRNGKey(seed)

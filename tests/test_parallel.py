@@ -498,3 +498,203 @@ def test_morton_rollout_under_dp_sharding():
         x_sh = jax.device_put(x, batch_sharding(mesh))
         got = jax.jit(lambda p, v: rollout_tante_latent(model, p, v, 5))(params, x_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@requires_8
+def test_tp_fused_block_matches_unsplit():
+    """The tensor-parallel fused block (Megatron half-kernels + 2 psums,
+    ops/pallas_block.py:fused_block_apply_tp) must match the unsplit block
+    math in value AND gradient on a dp=2 x tp=2 mesh — off-TPU both run
+    the XLA formulation, so this pins the *split + psum* algebra (the
+    f32-partial all-reduce placement), not kernel numerics."""
+    from tante_tpu.ops.pallas_block import (
+        BlockParams,
+        _xla_block,
+        fused_block_apply_tp,
+    )
+
+    mesh = make_mesh(4, ("dp", "tp"), (2, 2), devices=cpu_devices[:4])
+    c, heads, hidden, l, rows = 32, 4, 64, 8, 4
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
+
+    params = BlockParams(
+        ln1_scale=jnp.ones((c,)), ln1_bias=jnp.zeros((c,)),
+        wq=arr(c, c), bq=arr(c), wk=arr(c, c), bk=arr(c),
+        wv=arr(c, c), bv=arr(c), wo=arr(c, c), bo=arr(c),
+        ln2_scale=jnp.ones((c,)), ln2_bias=jnp.zeros((c,)),
+        w1=arr(c, hidden), b1=arr(hidden), w2=arr(hidden, c), b2=arr(c),
+    )
+    x = arr(rows, l, c)
+
+    for causal in (False, True):
+        want = jax.jit(lambda a, p: _xla_block(a, p, l, heads, causal))(x, params)
+        got = jax.jit(
+            lambda a, p: fused_block_apply_tp(a, p, l, heads, causal, mesh)
+        )(x, params)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # gradients: the custom VJP recomputes the unsplit block, so grads are
+    # exactly the XLA block's grads
+    def loss_tp(a, p):
+        return jnp.sum(fused_block_apply_tp(a, p, l, heads, True, mesh) ** 2)
+
+    def loss_ref(a, p):
+        return jnp.sum(_xla_block(a, p, l, heads, True) ** 2)
+
+    gx_tp, gp_tp = jax.jit(jax.grad(loss_tp, argnums=(0, 1)))(x, params)
+    gx_rf, gp_rf = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(x, params)
+    # both grads recompute the SAME _xla_block; the only difference is the
+    # cotangent (2*forward), which carries the split-psum f32 rounding —
+    # so the comparison is relative, not absolute
+    np.testing.assert_allclose(
+        np.asarray(gx_tp), np.asarray(gx_rf), rtol=1e-3, atol=2e-4
+    )
+    for a, b in zip(gp_tp, gp_rf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
+        )
+
+
+@requires_8
+def test_tp_fused_block_uneven_geometry_falls_back():
+    """heads=3 doesn't split over tp=2: fused_block_apply_tp must still
+    return the correct value (unsplit fallback, jit-partitioned)."""
+    from tante_tpu.ops.pallas_block import (
+        BlockParams,
+        _xla_block,
+        fused_block_apply_tp,
+    )
+
+    mesh = make_mesh(2, ("tp",), (2,), devices=cpu_devices[:2])
+    c, heads, hidden, l, rows = 24, 3, 48, 4, 6
+    rng = np.random.default_rng(1)
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.3)
+
+    params = BlockParams(
+        ln1_scale=jnp.ones((c,)), ln1_bias=jnp.zeros((c,)),
+        wq=arr(c, c), bq=arr(c), wk=arr(c, c), bk=arr(c),
+        wv=arr(c, c), bv=arr(c), wo=arr(c, c), bo=arr(c),
+        ln2_scale=jnp.ones((c,)), ln2_bias=jnp.zeros((c,)),
+        w1=arr(c, hidden), b1=arr(hidden), w2=arr(hidden, c), b2=arr(c),
+    )
+    x = arr(rows, l, c)
+    want = _xla_block(x, params, l, heads, False)
+    got = jax.jit(lambda a, p: fused_block_apply_tp(a, p, l, heads, False, mesh))(
+        x, params
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@requires_8
+def test_tp_mesh_model_forward_matches_single_device():
+    """A TANTE forward with ``tp_mesh`` set (blocks through
+    fused_block_apply_tp's shard_map; XLA half math off-TPU) must match the
+    unsharded fused_blocks=False forward — the whole-model guard for the
+    tensor-parallel fused path the Trainer now enables under tp."""
+    from tante_tpu.data.dataset import TanteMetadata
+    from tante_tpu.models import TANTE
+    from tante_tpu.parallel import shard_params
+
+    md = TanteMetadata(
+        dataset_name="tp_fused_fwd",
+        n_spatial_dims=2,
+        spatial_resolution=(16, 32),
+        field_names={0: ["f"] * 3, 1: [], 2: []},
+        boundary_condition_types=["PERIODIC"],
+        n_files=1,
+        n_trajectories_per_file=[1],
+        n_steps_per_trajectory=[8],
+        n_fields=3,
+    )
+    kw = dict(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="THW",
+        embed_dim=32,
+        patch_scale=8,
+        n_head=4,
+        output_length=1,
+        deg=True,
+    )
+    ref_model = TANTE(fused_blocks=False, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 4, 16, 32, 3)).astype(np.float32))
+    params = ref_model.init(jax.random.PRNGKey(0), x[:1])
+    want = jax.jit(lambda p, v: ref_model.apply(p, v))(params, x)
+
+    mesh = make_mesh(8, ("dp", "tp"), (4, 2), devices=cpu_devices[:8])
+    tp_model = TANTE(tp_mesh=mesh, **kw)
+    with mesh:
+        p_sh = shard_params(params, mesh, enable_tp=True)
+        x_sh = jax.device_put(x, batch_sharding(mesh))
+        got = jax.jit(lambda p, v: tp_model.apply(p, v))(p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+@requires_8
+@pytest.mark.slow  # two trainer-epoch compiles (~75s cold on 1 CPU); the
+# model-level tp_mesh forward test covers the numerics in the default run
+def test_trainer_tp_keeps_fused_kernel(well_root_tiny, tmp_path):
+    """The Trainer under a tp>1 mesh must now select the tensor-parallel
+    fused path (clone ``tp_mesh=mesh``) instead of forfeiting the kernel
+    (the round-2 design cloned ``fused_blocks=False`` — a measured ~2.9x
+    single-chip backbone loss, docs/PERF.md), and the first training epoch
+    must match the single-device trainer's loss trajectory."""
+    from tante_tpu.data import TanteDataModule
+    from tante_tpu.models import TANTE
+    from tante_tpu.train import L2RE, MSE, AdamW, Trainer
+
+    def build(mesh, folder):
+        dm = TanteDataModule(
+            base_path=well_root_tiny,
+            dataset_name="synthetic_waves",
+            batch_size=2,
+            n_steps_input=4,
+            n_steps_output=2,
+            eval_steps_output=4,
+            data_workers=2,
+            seed=0,
+        )
+        md = dm.train_dataset.metadata
+        model = TANTE(
+            in_T=4,
+            dset_metadata=md,
+            taylor_order=1,
+            attn_axes="TH",
+            embed_dim=32,
+            patch_scale=8,
+            n_head=4,
+            output_length=1,
+            deg=True,
+        )
+        return dm, Trainer(
+            checkpoint_folder=str(tmp_path / folder),
+            formatter="channels_first_default",
+            model=model,
+            datamodule=dm,
+            optimizer=AdamW(lr=1e-3),
+            train_loss_fn=MSE(),
+            eval_loss_fn=L2RE(),
+            max_epoch=1,
+            n_steps_output=2,
+            n_steps_rollout=4,
+            seed=0,
+            mesh=mesh,
+        )
+
+    mesh = make_mesh(2, ("dp", "tp"), (1, 2), devices=cpu_devices[:2])
+    dm_tp, t_tp = build(mesh, "tp")
+    # the selection itself: tp keeps the fused path
+    assert t_tp.model.tp_mesh is mesh
+    assert t_tp.model.fused_blocks
+
+    dm_1, t_1 = build(None, "single")
+    loss_tp, _ = t_tp.train_one_epoch(1, dm_tp.train_dataloader())
+    loss_1, _ = t_1.train_one_epoch(1, dm_1.train_dataloader())
+    np.testing.assert_allclose(loss_tp, loss_1, rtol=1e-4)
