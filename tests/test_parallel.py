@@ -633,8 +633,23 @@ def test_tp_mesh_model_forward_matches_single_device():
     with mesh:
         p_sh = shard_params(params, mesh, enable_tp=True)
         x_sh = jax.device_put(x, batch_sharding(mesh))
-        got = jax.jit(lambda p, v: tp_model.apply(p, v))(p_sh, x_sh)
+        fwd = jax.jit(lambda p, v: tp_model.apply(p, v))
+        got = fwd(p_sh, x_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+    # The comm pattern survives the shard_map route: the explicit psums are
+    # exactly the Megatron pair — 2 token-tensor all-reduces per block
+    # (post attention-out partial, post fc2 partial) and nothing bigger.
+    import re
+
+    hlo = fwd.lower(p_sh, x_sh).compile().as_text()
+    rank2plus = [
+        m for m in re.findall(r"= (\S+?)\{[^}]*\} all-reduce\(", hlo)
+        if m.count(",") >= 1
+    ]
+    n_blocks = 3  # THW
+    assert len(rank2plus) >= 2 * n_blocks, (rank2plus, hlo.count("all-reduce"))
+    assert len(rank2plus) <= 2 * n_blocks + 3, rank2plus  # + propagator psums
 
 
 @requires_8
