@@ -85,16 +85,37 @@ def split_block(x, params, heads, c_att):
     return (xm + (h2 + params.b2).astype(x2.dtype)).reshape(s, l, c)
 
 
-def timed(f, *args, iters=20):
-    y = f(*args)
-    jax.block_until_ready(y)
+def timed(block_fn, x, params, scan=32, k=16):
+    """ms per block application.  Two axon-tunnel rules (bench.py
+    "Measurement methodology"): block_until_ready does NOT wait on this
+    backend (materialize a jitted scalar probe), and per-program dispatch
+    + the ~25 ms RTT must amortize over many executions — so each program
+    scans ``scan`` chained applications and ``k`` programs pipeline per
+    sync."""
+
+    @jax.jit
+    def prog(a, p):
+        def bd(c, _):
+            return block_fn(c, p), ()
+
+        out, _ = jax.lax.scan(bd, a, None, length=scan)
+        return out
+
+    @jax.jit
+    def probe(y):
+        return jnp.sum(y.ravel()[:1])
+
+    y = prog(x, params)
+    float(probe(y))
+    xs = [x + 0.001 * i for i in range(k)]
+    for xi in xs:
+        xi.block_until_ready()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            y = f(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        ys = [prog(xi, params) for xi in xs]
+        float(probe(ys[-1]))
+        best = min(best, (time.perf_counter() - t0) / (scan * k))
     return best * 1e3
 
 
@@ -123,24 +144,22 @@ def main():
         print(f"  |{name} - f32 ref|: max {float(jnp.max(d)):.3e} "
               f"mean {float(jnp.mean(d)):.3e}")
 
-    t_whole = timed(whole, x, params)
-    t_half = timed(halves, x, params)
+    t_whole = timed(lambda a, p: fused_block_apply(a, p, L, HEADS, CAUSAL), x, params)
+    t_half = timed(lambda a, p: split_block(a, p, HEADS, C), x, params)
     print(f"whole kernel:        {t_whole:.3f} ms/block")
     print(f"half kernels (tp=1): {t_half:.3f} ms/block (split overhead "
           f"{(t_half - t_whole) * 1e3:.0f} us)")
 
     from tante_tpu.ops.pallas_block import _xla_block
 
-    xla_full = jax.jit(lambda a, p: _xla_block(a, p, L, HEADS, CAUSAL))
-    t_xla = timed(xla_full, x, params)
+    t_xla = timed(lambda a, p: _xla_block(a, p, L, HEADS, CAUSAL), x, params)
     print(f"XLA block (full C):  {t_xla:.3f} ms/block (the pre-round-2 path)")
 
     # tp=2 local-shard compute: heads/2 attention + hidden/2 MLP
     p_shard = make_params(np.random.default_rng(1), C // 2, HIDDEN // 2)
     halves2 = jax.jit(lambda a, p: split_block(a, p, HEADS // 2, C // 2))
     y2 = halves2(x, p_shard)
-    jax.block_until_ready(y2)
-    t_shard = timed(halves2, x, p_shard)
+    t_shard = timed(lambda a, p: split_block(a, p, HEADS // 2, C // 2), x, p_shard)
     nbytes = jnp.dtype(DTYPE).itemsize
     print(f"tp=2 per-shard halves: {t_shard:.3f} ms/block "
           f"(+ 2 psums of {jnp.dtype(DTYPE).name} ({S*L}, {C}) = "
@@ -156,8 +175,7 @@ def main():
         h2 = _xla_mlp_half(xm, p)
         return xm + (h2 + p.b2).astype(a.dtype)
 
-    xla2 = jax.jit(xla_shard)
-    t_xla2 = timed(xla2, x, p_shard)
+    t_xla2 = timed(xla_shard, x, p_shard)
     print(f"tp=2 per-shard XLA:    {t_xla2:.3f} ms/block (fused-kernel forfeit)")
     print(f"tp=2 kernel keep-win:  {t_xla2 / t_shard:.2f}x per block")
 

@@ -25,8 +25,8 @@ under shard_map (ops/pallas_block.py:fused_block_apply_tp; the Trainer
 clones ``tp_mesh=mesh`` when the geometry shards evenly, else falls back
 to ``fused_blocks=False`` + SPMD-partitioned XLA math).  Measured on-chip
 at flagship-ish geometry (scripts/tp_half_kernels_onchip.py): the tp=2
-per-shard half kernels run 1.36x faster than the per-shard XLA block math
-the round-2 forfeit design would execute.
+per-shard half kernels run 1.64x faster than the per-shard XLA block math
+the round-2 forfeit design would execute (0.958 vs 1.572 ms/block).
 """
 
 from __future__ import annotations
