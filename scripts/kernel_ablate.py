@@ -8,6 +8,8 @@ math is intentionally wrong) to attribute that time:
 
   full        the production _kernel_body
   no-exp      softmax replaced by raw masked scores (VPU exp/bias/recip gone)
+  bf16-exp    the mask-add/min/exp2/sum sweep on bf16 scores (half-width VPU)
+  no-norm     exp kept, row-sum + reciprocal normalization removed
   no-mask     softmax without the additive mask bias (mask build + add gone)
   no-headloop per-head attention replaced by ONE (M, C) @ (C, C) dot
               (upper bound: what if heads/scores were free)
@@ -95,6 +97,9 @@ def body(x, p, mode):
             )
             if mode == "no-exp":
                 unnorm = scores + mask_bias[None]
+            elif mode == "bf16-exp":
+                s16 = (scores + mask_bias[None]).astype(jnp.bfloat16)
+                unnorm = jax.lax.exp2(jnp.minimum(s16, jnp.bfloat16(60.0 * _LOG2E)))
             elif mode == "no-mask":
                 unnorm = jax.lax.exp2(jnp.minimum(scores, 60.0 * _LOG2E))
             else:
@@ -102,8 +107,13 @@ def body(x, p, mode):
                     jnp.minimum(scores + mask_bias[None], 60.0 * _LOG2E)
                 )
             w_un = unnorm.astype(x.dtype)
-            if mode in ("no-exp",):
+            if mode in ("no-exp", "no-norm"):
                 recip = 1.0
+            elif mode == "bf16-exp":
+                recip = 1.0 / (
+                    jnp.sum(unnorm, axis=-1, keepdims=True).astype(jnp.float32)
+                    + 1e-30
+                )
             else:
                 recip = 1.0 / (jnp.sum(unnorm, axis=-1, keepdims=True) + 1e-30)
             ah = jax.lax.dot_general(
@@ -203,8 +213,8 @@ def main():
     print(f"geometry: M={M} C={C} heads={HEADS} sp={SEQ_PACK * L} row_tile={row_tile}")
 
     base = None
-    for mode in ("full", "no-exp", "no-mask", "no-headloop", "no-ln",
-                 "no-gelu", "matmul-only"):
+    for mode in ("full", "bf16-exp", "no-exp", "no-norm", "no-mask",
+                 "no-headloop", "no-ln", "no-gelu", "matmul-only"):
         t = run_mode(mode, x2, params, row_tile)
         if mode == "full":
             base = t
