@@ -10,6 +10,8 @@ math is intentionally wrong) to attribute that time:
   no-exp      softmax replaced by raw masked scores (VPU exp/bias/recip gone)
   bf16-exp    the mask-add/min/exp2/sum sweep on bf16 scores (half-width VPU)
   no-norm     exp kept, row-sum + reciprocal normalization removed
+  mxu-norm    denominator via an MXU ones-column dot instead of the VPU
+              row-sum reduction (correct math, numerator-consistent)
   no-mask     softmax without the additive mask bias (mask build + add gone)
   no-headloop per-head attention replaced by ONE (M, C) @ (C, C) dot
               (upper bound: what if heads/scores were free)
@@ -88,6 +90,7 @@ def body(x, p, mode):
         k3 = k.reshape(b_att, sp, c)
         v3 = v.reshape(b_att, sp, c)
         heads_out = []
+        recips = []
         for h in range(HEADS):
             qh = q3[:, :, h * d : (h + 1) * d]
             kh = k3[:, :, h * d : (h + 1) * d]
@@ -107,7 +110,20 @@ def body(x, p, mode):
                     jnp.minimum(scores + mask_bias[None], 60.0 * _LOG2E)
                 )
             w_un = unnorm.astype(x.dtype)
-            if mode in ("no-exp", "no-norm"):
+            if mode == "deferred-norm":
+                recip = 1.0 / (jnp.sum(unnorm, axis=-1, keepdims=True) + 1e-30)
+            elif mode == "mxu-norm":
+                # denominator as an MXU dot over the SAME bf16 weights the
+                # AV dot consumes (numerator-consistent); the (sp, 8) ones
+                # operand rides the lane-padded output tile
+                ones_col = jnp.ones((sp, 8), x.dtype)
+                denom = jax.lax.dot_general(
+                    w_un, ones_col,
+                    (((2,), (0,)), ((0,) if w_un.ndim == 3 else (), ())) if False else (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                recip = 1.0 / (denom[:, :, :1] + 1e-30)
+            elif mode in ("no-exp", "no-norm"):
                 recip = 1.0
             elif mode == "bf16-exp":
                 recip = 1.0 / (
@@ -119,9 +135,24 @@ def body(x, p, mode):
             ah = jax.lax.dot_general(
                 w_un, vh, dn_av, preferred_element_type=jnp.float32
             )
-            ah = ah * recip
+            if mode == "deferred-norm":
+                recips.append(recip)  # (b_att, sp, 1) f32
+            else:
+                ah = ah * recip
             heads_out.append(ah.astype(x.dtype))
         attn = jnp.concatenate(heads_out, axis=2).reshape(m_rows, c)
+        if mode == "deferred-norm":
+            # ONE normalization after the loop: per-head recips lane-expand
+            # via a fixed 0/1 MXU dot, then a single (M, C) multiply —
+            # the 8 AV dots flow back-to-back with no per-head VPU stall
+            r_all = jnp.concatenate(recips, axis=2).reshape(m_rows, HEADS)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (HEADS, c), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (HEADS, c), 1)
+            expand = (jj // d == hh).astype(jnp.float32)  # built in-kernel
+            scale = jax.lax.dot_general(
+                r_all, expand, dn2, preferred_element_type=jnp.float32
+            )
+            attn = (attn.astype(jnp.float32) * scale).astype(x.dtype)
 
     out = jax.lax.dot_general(attn, p.wo, dn2, preferred_element_type=jnp.float32)
     x = x + (out + p.bo).astype(x.dtype)
@@ -213,8 +244,9 @@ def main():
     print(f"geometry: M={M} C={C} heads={HEADS} sp={SEQ_PACK * L} row_tile={row_tile}")
 
     base = None
-    for mode in ("full", "bf16-exp", "no-exp", "no-norm", "no-mask",
-                 "no-headloop", "no-ln", "no-gelu", "matmul-only"):
+    for mode in ("full", "deferred-norm", "mxu-norm", "bf16-exp", "no-exp",
+                 "no-norm", "no-mask", "no-headloop", "no-ln", "no-gelu",
+                 "matmul-only"):
         t = run_mode(mode, x2, params, row_tile)
         if mode == "full":
             base = t
