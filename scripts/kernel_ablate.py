@@ -91,6 +91,44 @@ def body(x, p, mode):
         v3 = v.reshape(b_att, sp, c)
         heads_out = []
         recips = []
+        if mode == "two-pass":
+            # pass 1: all score/exp/sum work; pass 2: dependency-free AV
+            # stream + per-head scale (the ablation said the denominator's
+            # dependency serializes the pipeline — test the reorder)
+            w_list, r_list = [], []
+            for h in range(HEADS):
+                qh = q3[:, :, h * d : (h + 1) * d]
+                kh = k3[:, :, h * d : (h + 1) * d]
+                scores = jax.lax.dot_general(
+                    qh, kh, dn_qk, preferred_element_type=jnp.float32
+                )
+                unnorm = jax.lax.exp2(
+                    jnp.minimum(scores + mask_bias[None], 60.0 * _LOG2E)
+                )
+                w_list.append(unnorm.astype(x.dtype))
+                r_list.append(
+                    1.0 / (jnp.sum(unnorm, axis=-1, keepdims=True) + 1e-30)
+                )
+            for h in range(HEADS):
+                vh = v3[:, :, h * d : (h + 1) * d]
+                ah = jax.lax.dot_general(
+                    w_list[h], vh, dn_av, preferred_element_type=jnp.float32
+                )
+                heads_out.append((ah * r_list[h]).astype(x.dtype))
+            attn = jnp.concatenate(heads_out, axis=2).reshape(m_rows, c)
+            out = jax.lax.dot_general(
+                attn, p.wo, dn2, preferred_element_type=jnp.float32
+            )
+            x = x + (out + p.bo).astype(x.dtype)
+            yn = ln(x, p.ln2_scale, p.ln2_bias)
+            h1 = jax.lax.dot_general(
+                yn, p.w1, dn2, preferred_element_type=jnp.float32
+            )
+            h1 = _gelu_tanh_f32(h1 + p.b1).astype(x.dtype)
+            h2 = jax.lax.dot_general(
+                h1, p.w2, dn2, preferred_element_type=jnp.float32
+            )
+            return x + (h2 + p.b2).astype(x.dtype)
         for h in range(HEADS):
             qh = q3[:, :, h * d : (h + 1) * d]
             kh = k3[:, :, h * d : (h + 1) * d]
@@ -244,9 +282,9 @@ def main():
     print(f"geometry: M={M} C={C} heads={HEADS} sp={SEQ_PACK * L} row_tile={row_tile}")
 
     base = None
-    for mode in ("full", "deferred-norm", "mxu-norm", "bf16-exp", "no-exp",
-                 "no-norm", "no-mask", "no-headloop", "no-ln", "no-gelu",
-                 "matmul-only"):
+    for mode in ("full", "two-pass", "deferred-norm", "mxu-norm", "bf16-exp",
+                 "no-exp", "no-norm", "no-mask", "no-headloop", "no-ln",
+                 "no-gelu", "matmul-only"):
         t = run_mode(mode, x2, params, row_tile)
         if mode == "full":
             base = t
