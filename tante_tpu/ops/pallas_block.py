@@ -740,7 +740,9 @@ def _pallas_rowtile(kernel_fn, x2, weights, out_cols, row_tile):
 
 def _xla_attn_half(x, p, l, heads, causal):
     """The attention half in plain XLA on (rows, l, C) — the `_xla_block`
-    formulation cut at the out-projection dot; returns the f32 partial."""
+    formulation cut at the out-projection dot.  Returns the partial in the
+    ACTIVATION dtype (the wo matmul runs in x.dtype; under bf16 the partial
+    is bf16 — same rounding class as the kernel path, see _pallas_rowtile)."""
     c_att = p.wq.shape[-1]
     d = c_att // heads
     xn = _ln(x, p.ln1_scale, p.ln1_bias)
@@ -762,7 +764,8 @@ def _xla_attn_half(x, p, l, heads, causal):
 
 
 def _xla_mlp_half(x2, p):
-    """The MLP half in plain XLA; returns the f32 partial."""
+    """The MLP half in plain XLA; partial in the activation dtype (the fc2
+    matmul runs in x2.dtype, like _xla_attn_half)."""
     yn = _ln(x2, p.ln2_scale, p.ln2_bias)
     h1 = ((yn @ p.w1.astype(x2.dtype)) + p.b1.astype(x2.dtype)).astype(jnp.float32)
     h1 = _gelu_tanh_f32(h1).astype(x2.dtype)
@@ -793,8 +796,13 @@ def _tp_block_impl(x, params: BlockParams, l, heads, causal, mesh):
     if tp == 1 or not tp_fusable(c_full, heads, hidden, tp):
         # Geometry doesn't shard evenly (e.g. a channel-axis block with an
         # odd expanded width): run the unsplit math and let the jit
-        # partitioner place it.  Same value either way.
-        if _on_tpu():
+        # partitioner place it.  Same value either way.  The Mosaic custom
+        # call has NO SPMD partitioning rule, so the single-device fused
+        # kernel is only legal when the mesh really is one device; under a
+        # multi-device mesh the fallback must be the XLA math, which the
+        # partitioner can shard (it would otherwise fail to compile or
+        # silently replicate with all-gathers).
+        if _on_tpu() and mesh.devices.size == 1:
             s, l_, c = x.shape
             sp_factor, row_tile = _tile_plan(s, l, c)
             out = _pallas_block(
@@ -810,6 +818,17 @@ def _tp_block_impl(x, params: BlockParams, l, heads, causal, mesh):
     # spec is a static per-trace choice.
     dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
     rows_axis = dp if (dp and x.shape[0] % dp_size == 0) else None
+    if dp_size > 1 and rows_axis is None:
+        # Replicated rows mean every dp shard recomputes the WHOLE batch —
+        # a silent perf cliff.  Rows are batch-major, so this should
+        # essentially never trigger; warn loudly if it does.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fused_block_apply_tp: %d rows do not divide dp=%d — activations "
+            "replicated over dp, every shard recomputes the full batch",
+            x.shape[0], dp_size,
+        )
     x_spec = P(rows_axis, None, None)
 
     def col(a):

@@ -50,8 +50,10 @@ _TP_RULES = [
     (re.compile(r"fc1/Dense_0/bias$"), lambda nd: P("tp")),
     (re.compile(r"fc2/Dense_0/kernel$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
     # FusedTransformerBlock flat params (models/common.py) — same Megatron
-    # layout; only used with the XLA block math (fused kernel is disabled
-    # under tp by the Trainer).
+    # layout.  These rules serve double duty: they are the NamedShardings
+    # the jit partitioner uses for the XLA block math, AND they are exactly
+    # the per-param in_specs fused_block_apply_tp's shard_map consumes for
+    # the half kernels (tp keeps the fused kernel; see module docstring).
     (re.compile(r"/(wq|wk|wv|w1)$"), lambda nd: P(*([None] * (nd - 1) + ["tp"]))),
     (re.compile(r"/(bq|bk|bv|b1)$"), lambda nd: P("tp")),
     (re.compile(r"/(wo|w2)$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
