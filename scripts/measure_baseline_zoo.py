@@ -147,9 +147,13 @@ class _SpectralConv2d(nn.Module):
         b, c, h, w = x.shape
         xf = torch.fft.rfft2(x, norm="ortho")
         if self.factorized:
-            wgt = torch.einsum(
-                "ijkl,ai,bj,ck,dl->abcd", self.core, self.f_ci, self.f_co, self.f_m1, self.f_m2
-            )
+            # Chain of 2-operand contractions (each one batched GEMM on
+            # CUDA; the 5-operand form would fall back to torch's CPU
+            # strided loops and poison the op count).
+            wgt = torch.einsum("ijkl,ai->jkla", self.core, self.f_ci)
+            wgt = torch.einsum("jkla,bj->klab", wgt, self.f_co)
+            wgt = torch.einsum("klab,ck->labc", wgt, self.f_m1)
+            wgt = torch.einsum("labc,dl->abcd", wgt, self.f_m2)
         else:
             wgt = self.w
         out = torch.zeros(b, c, h, w // 2 + 1, dtype=torch.cfloat)
@@ -262,7 +266,7 @@ def count_flops(model, args) -> float:
         if hasattr(tfft, name):
             wrap(name, dof)
     try:
-        with counter, torch.no_grad():
+        with counter, torch.no_grad(), _EinsumBmmPatch():
             model(*args)
     finally:
         for name, fn in orig.items():
@@ -270,15 +274,98 @@ def count_flops(model, args) -> float:
     return float(counter.get_total_flops()) + fft_extra[0]
 
 
+def _einsum_as_bmm(eq: str, a: torch.Tensor, b: torch.Tensor) -> torch.Tensor:
+    """2-operand einsum via permute+reshape+bmm — the kernel stream a CUDA
+    eager run actually executes (cuBLAS batched GEMM, complex supported
+    natively).  torch's CPU einsum on complex operands instead walks strided
+    sub-tensors with thousands of as_strided/resolve_conj/copy_ calls, which
+    would poison the kernel-launch count.  Numerically identical."""
+    ins, out = eq.replace(" ", "").split("->")
+    ia, ib = ins.split(",")
+    batch = [c for c in ia if c in ib and c in out]
+    contract = [c for c in ia if c in ib and c not in out]
+    free_a = [c for c in ia if c not in ib]
+    free_b = [c for c in ib if c not in ia]
+    pa = a.permute([ia.index(c) for c in batch + free_a + contract])
+    pb = b.permute([ib.index(c) for c in batch + contract + free_b])
+    dims = {c: a.shape[ia.index(c)] for c in ia}
+    dims.update({c: b.shape[ib.index(c)] for c in ib})
+    import math as _m
+
+    nb = _m.prod([dims[c] for c in batch]) if batch else 1
+    fa = _m.prod([dims[c] for c in free_a]) if free_a else 1
+    fb = _m.prod([dims[c] for c in free_b]) if free_b else 1
+    k = _m.prod([dims[c] for c in contract]) if contract else 1
+    pa3 = pa.reshape(nb, fa, k)
+    pb3 = pb.reshape(nb, k, fb)
+    if pa3.is_complex() or pb3.is_complex():
+        # torch's CPU complex bmm loops per batch element (1759 as_strided
+        # for ONE spectral conv) while CUDA runs a single batched cgemm; a
+        # 4-real-bmm expansion keeps the op count CUDA-representative.
+        ar, ai = (pa3.real, pa3.imag) if pa3.is_complex() else (pa3, torch.zeros_like(pa3))
+        br, bi = (pb3.real, pb3.imag) if pb3.is_complex() else (pb3, torch.zeros_like(pb3))
+        ar, ai, br, bi = (t.contiguous() for t in (ar, ai, br, bi))
+        r = torch.complex(
+            torch.bmm(ar, br) - torch.bmm(ai, bi),
+            torch.bmm(ar, bi) + torch.bmm(ai, br),
+        )
+    else:
+        r = torch.bmm(pa3, pb3)
+    r = r.reshape([dims[c] for c in batch + free_a + free_b])
+    cur = batch + free_a + free_b
+    return r.permute([cur.index(c) for c in out])
+
+
+class _EinsumBmmPatch:
+    def __enter__(self):
+        self._orig = torch.einsum
+        self._fn = torch.functional.einsum
+
+        def patched(eq, *ops):
+            if (
+                isinstance(eq, str)
+                and len(ops) == 2
+                and "." not in eq
+                and "->" in eq
+                and all(isinstance(o, torch.Tensor) for o in ops)
+            ):
+                try:
+                    return _einsum_as_bmm(eq, ops[0], ops[1])
+                except Exception:
+                    return self._orig(eq, *ops)
+            return self._orig(eq, *ops)
+
+        torch.einsum = patched
+        torch.functional.einsum = patched
+        return self
+
+    def __exit__(self, *a):
+        torch.einsum = self._orig
+        torch.functional.einsum = self._fn
+
+
 def count_ops(model, args) -> int:
+    """Eager-dispatch proxy (the rule of scripts/measure_baseline.py,
+    unchanged: aten leaf ops, each granted a 4us dispatch floor — every
+    dispatched op pays the eager dispatcher, metadata ops included), with
+    ONE correction: 2-operand einsums are lowered to the permute+bmm form a
+    CUDA eager stream actually runs.  torch's CPU einsum on complex
+    operands walks strided sub-tensors instead (UNO: 32650 raw leaf ops of
+    which ~28k are as_strided/resolve_conj/copy_ loop artifacts that a
+    cuBLAS batched-complex GEMM never dispatches) — a CPU implementation
+    detail that would DEFLATE the baseline bound ~7x."""
     from torch.profiler import ProfilerActivity, profile
 
-    with torch.no_grad():
+    with torch.no_grad(), _EinsumBmmPatch():
         model(*args)
         with profile(activities=[ProfilerActivity.CPU]) as prof:
             model(*args)
     events = [e for e in prof.events() if e.name.startswith("aten::")]
-    leaves = [e for e in events if not any(c.name.startswith("aten::") for c in e.cpu_children)]
+    leaves = [
+        e
+        for e in events
+        if not any(c.name.startswith("aten::") for c in e.cpu_children)
+    ]
     return len(leaves)
 
 
@@ -353,15 +440,18 @@ def build(name: str):
             num_mlp_layers=1,
             mlp_ratio=1,
         )
-        # full-grid decode in ONE call (favors the baseline: the reference
-        # evaler actually chunks into num_query_points-sized calls,
-        # trainer/evaler.py:147-155, paying the encoder per chunk)
-        h, w = RESOLUTION
-        gy, gx = torch.meshgrid(
-            torch.linspace(0, 1, h), torch.linspace(0, 1, w), indexing="ij"
-        )
-        coords = torch.stack([gy.reshape(-1), gx.reshape(-1)], dim=-1)
-        return m, (x, coords), 4
+        # The bound models a full-grid decode in ONE call (favors the
+        # baseline: the reference evaler actually chunks into
+        # num_query_points-sized calls, trainer/evaler.py:147-155, paying
+        # the encoder once per chunk).  The full 49152-query RBF embedding
+        # is intractable on this 1-CPU host, so main() measures at two
+        # query counts and extrapolates the affine flops(M); the op count
+        # is M-independent.
+        def coords_of(m_q):
+            g = torch.rand(m_q, 2)
+            return g
+
+        return m, (x, coords_of(1024)), 4, coords_of
     if name == "unet_convnext":
         from models.unet_convnext import UNetConvNext
 
@@ -413,14 +503,28 @@ def main():
     for name in names:
         t0 = time.time()
         try:
-            model, args, frames = build(name)
+            built = build(name)
+            model, args, frames = built[:3]
             model.eval()
+            # FlopCounterMode's ModuleTracker registers grad hooks that
+            # assert on requires_grad tensors without grad_fn (e.g. a
+            # Parameter.expand under no_grad — CViT's Perceiver latents);
+            # inference-only counting needs no autograd at all.
+            model.requires_grad_(False)
             n_params = sum(p.numel() for p in model.parameters())
             with torch.no_grad():
                 y = model(*args)
             if frames is None:
                 frames = int(y.shape[1])
-            flops_b1 = count_flops(model, args)
+            if len(built) == 4:  # cvit: affine flops(M) -> full-grid extrapolation
+                coords_of = built[3]
+                x0 = args[0]
+                f1 = count_flops(model, (x0, coords_of(1024)))
+                f2 = count_flops(model, (x0, coords_of(2048)))
+                full_m = RESOLUTION[0] * RESOLUTION[1]
+                flops_b1 = f1 + (f2 - f1) / 1024.0 * (full_m - 1024)
+            else:
+                flops_b1 = count_flops(model, args)
             ops = count_ops(model, args)
             flop_time = (BATCH * flops_b1) / (A100_BF16_PEAK * GENEROUS_A100_MFU)
             launch_floor = ops * LAUNCH_OVERHEAD_S

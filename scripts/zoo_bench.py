@@ -55,9 +55,14 @@ MODELS = ["tante", "fno", "tfno", "afno", "uno", "dpot", "avit", "cvit",
           "unet_convnext", "unet_att"]
 
 
-def bench_model(name: str):
+def bench_model(name: str, bf16: bool = True):
     cfg = load_config(name)
     model = instantiate(cfg.model, dset_metadata=MD)
+    # bf16 compute — the protocol the per-family A100 bound is granted
+    # (A100 bf16 peak; the reference trains under bf16 AMP,
+    # trainer/trainer.py:102-105).  Matches the Trainer's enable_amp clone.
+    if bf16 and hasattr(model, "dtype"):
+        model = model.clone(dtype=jnp.bfloat16)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, IN_T, *RES, NF)).astype(np.float32)
     )
@@ -123,8 +128,26 @@ def bench_model(name: str):
         best = min(best, time.perf_counter() - t0)
     fps = REPS * BATCH * N_STEPS / best
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    return {"model": name, "frames_per_sec_per_chip": round(fps, 1),
-            "params": n_params, "chunk_frames_per_call": chunk}
+    row = {"model": name, "frames_per_sec_per_chip": round(fps, 1),
+           "params": n_params, "chunk_frames_per_call": chunk}
+    bound = _zoo_bounds().get(name, {}).get("fps_a100_bound")
+    if bound:
+        row["a100_bound_fps"] = bound
+        row["vs_baseline"] = round(fps / bound, 3)
+    return row
+
+
+def _zoo_bounds() -> dict:
+    """Per-family A100 eager upper bounds (scripts/measure_baseline_zoo.py
+    -> BASELINE.json published.a100_zoo)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)["published"]["a100_zoo"]
+    except (OSError, KeyError, ValueError):
+        return {}
 
 
 def main():

@@ -284,6 +284,9 @@ class AViT(nn.Module):
     num_heads: int = 12
     processor_blocks: int = 8
     drop_path: float = 0.2
+    # Remat both halves of each space-time block (the reference exposes the
+    # same flag and checkpoints both halves, avit.py:341-372).
+    gradient_checkpointing: bool = False
 
     @property
     def output_length(self) -> int:
@@ -312,16 +315,22 @@ class AViT(nn.Module):
         hp, wp = z.shape[1], z.shape[2]
         z = z.reshape(b, t, hp, wp, self.embed_dim)
 
+        temporal_cls, spatial_cls = TemporalAttentionBlock, AxialAttentionBlock
+        if self.gradient_checkpointing:
+            # deterministic (arg index 2, after the bound module) is a
+            # Python bool and must stay static under jax.checkpoint.
+            temporal_cls = nn.remat(TemporalAttentionBlock, static_argnums=(2,))
+            spatial_cls = nn.remat(AxialAttentionBlock, static_argnums=(2,))
         dp_rates = np.linspace(0, self.drop_path, self.processor_blocks)
         for i in range(self.processor_blocks):
-            z = TemporalAttentionBlock(
+            z = temporal_cls(
                 self.embed_dim,
                 self.num_heads,
                 drop_path=float(dp_rates[i]),
                 name=f"temporal_{i}",
             )(z, deterministic)
             zz = z.reshape(b * t, hp, wp, self.embed_dim)
-            zz = AxialAttentionBlock(
+            zz = spatial_cls(
                 self.embed_dim,
                 self.num_heads,
                 drop_path=float(dp_rates[i]),

@@ -17,7 +17,7 @@ matmul over B*H*W rows).  ``gradient_checkpointing`` remats each block
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ class FNOBlock(nn.Module):
     modes2: int
     modes3: int = 16
     last: bool = False
+    sp_mesh: Any = None  # spatial sharding: Mesh with an 'sp' axis
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,9 +71,21 @@ class FNOBlock(nn.Module):
                 complex_spectral_init(self.hidden, self.hidden),
                 (self.hidden, self.hidden, self.modes1, m2r, 2),
             )
-            y = spectral_conv2d_centered(
-                x.astype(jnp.float32), weight, self.modes1, self.modes2
-            ).astype(x.dtype)
+            if self.sp_mesh is not None:
+                # H-sharded field: partial-DFT with per-shard partial sums
+                # + one mode-space psum (parallel/halo.py).  Every other op
+                # in the block is pointwise over H, so jit's SPMD
+                # partitioner keeps them local given the input sharding.
+                from tante_tpu.parallel.halo import sharded_spectral_conv2d_centered
+
+                y = sharded_spectral_conv2d_centered(
+                    self.sp_mesh, x.astype(jnp.float32), weight,
+                    self.modes1, self.modes2,
+                ).astype(x.dtype)
+            else:
+                y = spectral_conv2d_centered(
+                    x.astype(jnp.float32), weight, self.modes1, self.modes2
+                ).astype(x.dtype)
         y = y + TorchDense(self.hidden, dtype=self.dtype)(x)  # linear fno skip
         y = nn.gelu(y, approximate=False)
         z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)
@@ -94,6 +107,11 @@ class FNO(nn.Module):
     n_layers: int = 4
     gradient_checkpointing: bool = False
     output_length: int = 1
+    # Spatial sharding: a Mesh with an 'sp' axis (set by the Trainer when
+    # the run's mesh has one).  The spectral convs run the H-sharded
+    # partial-DFT (one psum each); all other ops are pointwise over H and
+    # shard for free under jit.  2-D path only.
+    sp_mesh: Any = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +134,7 @@ class FNO(nn.Module):
                 modes2=self.modes2,
                 modes3=self.modes3,
                 last=(i == self.n_layers - 1),
+                sp_mesh=self.sp_mesh if z.ndim == 4 else None,
                 dtype=self.dtype,
             )(z)
         z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)

@@ -8,16 +8,28 @@ attention gating (sigmoid psi on gate+skip), final 1x1 conv to
 BatchNorm carries running statistics in the flax ``batch_stats`` collection;
 the trainers thread this mutable state through the compiled rollout (see
 ``train/rollout.py:rollout_fixed_stateful``).  Under data parallelism the
-statistics are per-device (matching the reference's unsynced single-GPU
-behavior); cross-replica sync would use ``axis_name`` on the mesh.
+statistics are global (the batch mean/var are plain reductions XLA computes
+across the dp-sharded batch under jit).
 
 Note the reference's final reshape is ``b (c t) ... -> b t c ...``
 (``unet_att.py:173``) — channel-major grouping; mirrored here exactly.
+
+Spatial sharding (``sp_axis``; VERDICT r3 item #3 — no reference
+counterpart, the reference has zero distribution): when set, the forward is
+meant to run INSIDE ``shard_map`` with the field's H axis sharded over that
+mesh axis.  Every 3x3 conv halo-exchanges one boundary row with its ring
+neighbors first (``parallel/halo.py:halo_exchange``; zero edges = the
+unsharded 'same' padding), BatchNorm statistics sync across
+``stat_axes`` (all mesh axes, so stats equal the unsharded global batch
+stats exactly), and everything else (1x1 convs, pool, nearest-upsample,
+reshapes) is H-local.  H must divide sp * 2^(depth-1) so every pyramid
+level keeps an even local row count.  The Trainer selects this path when
+its mesh has an 'sp' axis (train/trainer.py).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,7 +38,26 @@ from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 
 
-def _conv(features, kernel, c_in, name=None, dtype=jnp.float32):
+def _conv(features, kernel, c_in, name=None, dtype=jnp.float32, sp_axis=None):
+    """'same'-padded conv; under spatial sharding the H padding comes from
+    the halo exchange instead (VALID on H after padding by the halo)."""
+    if sp_axis is not None and kernel > 1:
+        conv = nn.Conv(
+            features,
+            kernel_size=(kernel, kernel),
+            padding=((0, 0), (kernel // 2, kernel // 2)),
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(c_in * kernel * kernel),
+            dtype=dtype,
+            name=name,
+        )
+
+        def halo_conv(x):
+            from tante_tpu.parallel.halo import halo_exchange
+
+            return conv(halo_exchange(x, kernel // 2, sp_axis, periodic=False))
+
+        return halo_conv
     return nn.Conv(
         features,
         kernel_size=(kernel, kernel),
@@ -40,19 +71,29 @@ def _conv(features, kernel, c_in, name=None, dtype=jnp.float32):
 
 class ConvBlock(nn.Module):
     out_channels: int
+    sp_axis: Optional[str] = None
+    stat_axes: Tuple[str, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(2):
-            x = _conv(self.out_channels, 3, x.shape[-1], dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = _conv(
+                self.out_channels, 3, x.shape[-1], dtype=self.dtype, sp_axis=self.sp_axis
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                dtype=self.dtype,
+                axis_name=self.stat_axes or None,
+            )(x)
             x = nn.relu(x)
         return x
 
 
 class UpConv(nn.Module):
     out_channels: int
+    sp_axis: Optional[str] = None
+    stat_axes: Tuple[str, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,24 +101,34 @@ class UpConv(nn.Module):
         b, h, w, c = x.shape
         # nn.Upsample(scale_factor=2) default mode is 'nearest'.
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        x = _conv(self.out_channels, 3, c, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = _conv(self.out_channels, 3, c, dtype=self.dtype, sp_axis=self.sp_axis)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            dtype=self.dtype,
+            axis_name=self.stat_axes or None,
+        )(x)
         return nn.relu(x)
 
 
 class AttentionGate(nn.Module):
     n_coefficients: int
+    stat_axes: Tuple[str, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, gate, skip, train: bool = False):
+        bn = lambda: nn.BatchNorm(
+            use_running_average=not train,
+            dtype=self.dtype,
+            axis_name=self.stat_axes or None,
+        )
         g1 = _conv(self.n_coefficients, 1, gate.shape[-1], dtype=self.dtype, name="W_gate")(gate)
-        g1 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(g1)
+        g1 = bn()(g1)
         x1 = _conv(self.n_coefficients, 1, skip.shape[-1], dtype=self.dtype, name="W_x")(skip)
-        x1 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x1)
+        x1 = bn()(x1)
         psi = nn.relu(g1 + x1)
         psi = _conv(1, 1, self.n_coefficients, dtype=self.dtype, name="psi")(psi)
-        psi = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(psi)
+        psi = bn()(psi)
         psi = nn.sigmoid(psi)
         return skip * psi
 
@@ -87,6 +138,12 @@ class AttentionUNet(nn.Module):
     dset_metadata: Optional[TanteMetadata] = None
     depth: int = 4
     out_T: int = 4
+    # Spatial sharding (see module docstring): mesh axis name for the H
+    # shard the forward runs inside shard_map over, and the mesh axes
+    # BatchNorm statistics sync across (all mesh axes for exact parity
+    # with the unsharded global-batch stats).
+    sp_axis: Optional[str] = None
+    stat_axes: Tuple[str, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -108,20 +165,39 @@ class AttentionUNet(nn.Module):
         for i, d in enumerate(dims):
             if i > 0:
                 z = pool(z)
-            z = ConvBlock(d, dtype=self.dtype, name=f"Conv{i + 1}")(z, train)
+            z = ConvBlock(
+                d,
+                sp_axis=self.sp_axis,
+                stat_axes=self.stat_axes,
+                dtype=self.dtype,
+                name=f"Conv{i + 1}",
+            )(z, train)
             encs.append(z)
 
         d_cur = encs[-1]
         # Decoder from the deepest level back to level 2.
         for level in range(self.depth, 1, -1):
-            d_up = UpConv(dims[level - 2], dtype=self.dtype, name=f"Up{level}")(d_cur, train)
+            d_up = UpConv(
+                dims[level - 2],
+                sp_axis=self.sp_axis,
+                stat_axes=self.stat_axes,
+                dtype=self.dtype,
+                name=f"Up{level}",
+            )(d_cur, train)
             s = AttentionGate(
-                dims[level - 2] // 2, dtype=self.dtype, name=f"Att{level}"
+                dims[level - 2] // 2,
+                stat_axes=self.stat_axes,
+                dtype=self.dtype,
+                name=f"Att{level}",
             )(d_up, encs[level - 2], train)
             d_cat = jnp.concatenate([s, d_up], axis=-1)
-            d_cur = ConvBlock(dims[level - 2], dtype=self.dtype, name=f"UpConv{level}")(
-                d_cat, train
-            )
+            d_cur = ConvBlock(
+                dims[level - 2],
+                sp_axis=self.sp_axis,
+                stat_axes=self.stat_axes,
+                dtype=self.dtype,
+                name=f"UpConv{level}",
+            )(d_cat, train)
 
         out = _conv(c * self.out_T, 1, 64, dtype=self.dtype, name="Conv")(d_cur)
         # (b, h, w, (c t)) -> (b, t, h, w, c); channel-major grouping as in

@@ -83,5 +83,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def input_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Sharding for (B, T, H, ...) model inputs: batch over 'dp', and —
+    when ``spatial`` and the mesh has an 'sp' axis — H (axis 2) over 'sp'.
+    Used by the Trainer for sp-capable models (train/trainer.py)."""
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp = "dp" if "dp" in axes else None
+    if spatial and axes.get("sp", 1) > 1:
+        return NamedSharding(mesh, P(dp, None, "sp"))
+    return NamedSharding(mesh, P(dp))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -127,6 +127,36 @@ class Trainer:
             else:
                 self.model = self.model.clone(fused_blocks=False)
 
+        # Spatial (H-axis) sharding — SURVEY.md section 2.6 item (b), a new
+        # capability with no reference counterpart: fields larger than one
+        # chip's HBM.  Two integration styles, keyed on what the model
+        # exposes:
+        #   sp_mesh  (FNO): the model embeds shard_map islands around its
+        #     spectral convs (partial-DFT partial sums + one psum,
+        #     parallel/halo.py); everything else is pointwise over H and
+        #     jit's SPMD partitioner keeps it local given H-sharded inputs.
+        #   sp_axis  (AttentionUNet): the whole forward runs inside
+        #     shard_map — 3x3 convs halo-exchange boundary rows
+        #     (halo_exchange), BatchNorm stats sync over all mesh axes.
+        self.sp_shardmap = False
+        self._mesh_axes = (
+            dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh is not None else {}
+        )
+        if self._mesh_axes.get("sp", 1) > 1:
+            if hasattr(self.model, "sp_mesh"):
+                self.model = self.model.clone(sp_mesh=mesh)
+            elif hasattr(self.model, "sp_axis"):
+                self.model = self.model.clone(
+                    sp_axis="sp", stat_axes=tuple(mesh.axis_names)
+                )
+                self.sp_shardmap = True
+            else:
+                logger.warning(
+                    "mesh has an 'sp' axis but %s has no spatial-sharding "
+                    "support (sp_mesh/sp_axis); the H axis stays replicated",
+                    type(self.model).__name__,
+                )
+
         self.rng = np.random.default_rng(seed)
         self.root_key = jax.random.PRNGKey(seed)
 
@@ -136,11 +166,19 @@ class Trainer:
         sample_shape = (1, t_in, *md.spatial_resolution, md.n_fields)
         init_key, self.dropout_key = jax.random.split(self.root_key)
         dummy = jnp.zeros(sample_shape, jnp.float32)
+        # Param shapes don't depend on the sp wiring; init with the plain
+        # model (halo_exchange/axis_index need shard_map context, and a
+        # B=1 dummy can't shard over 'dp' inside the spectral shard_map).
+        init_model = self.model
+        if getattr(init_model, "sp_mesh", None) is not None:
+            init_model = init_model.clone(sp_mesh=None)
+        if getattr(init_model, "sp_axis", None) is not None:
+            init_model = init_model.clone(sp_axis=None, stat_axes=())
         if self.cvit:
             dummy_coords = jnp.zeros((4, 2), jnp.float32)
-            self.params = jax.jit(self.model.init)(init_key, dummy, dummy_coords)
+            self.params = jax.jit(init_model.init)(init_key, dummy, dummy_coords)
         else:
-            self.params = jax.jit(self.model.init)(init_key, dummy)
+            self.params = jax.jit(init_model.init)(init_key, dummy)
 
         # ---- mesh / data parallelism -----------------------------------
         # One jax.sharding.Mesh replaces the reference's DistributedSampler
@@ -153,9 +191,13 @@ class Trainer:
             mesh = make_mesh(axis_names=("dp",))
         self.mesh = mesh
         if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
-            from tante_tpu.parallel import batch_sharding, shard_params
+            from tante_tpu.parallel import shard_params
+            from tante_tpu.parallel.mesh import input_sharding
 
-            self.batch_sharding = batch_sharding(mesh)
+            sp_capable = (
+                getattr(self.model, "sp_mesh", None) is not None or self.sp_shardmap
+            )
+            self.batch_sharding = input_sharding(mesh, spatial=sp_capable)
             if hasattr(datamodule, "sharding"):
                 datamodule.sharding = self.batch_sharding
             self.params = shard_params(
@@ -194,6 +236,51 @@ class Trainer:
     def _apply(self, params, x, deterministic, rngs=None):
         kwargs = {"deterministic": deterministic}
         return self.model.apply(params, x, rngs=rngs, **kwargs)
+
+    # ---- spatial sharding (sp_axis models): whole-forward shard_map ------
+    def _sp_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        dp = "dp" if "dp" in self._mesh_axes else None
+        return P(), P(dp, None, "sp")
+
+    def _sp_apply_stateful(self, p, w, st, dropout_key):
+        """Training apply under shard_map: (params, window, state, key) ->
+        (y, new_state).  BatchNorm stats sync over all mesh axes inside the
+        model (stat_axes), so the updated state is replicated (out_spec
+        P()) and numerically equals the unsharded global-batch stats."""
+        from jax import shard_map
+
+        pspec, xspec = self._sp_specs()
+
+        def local(p_, w_, st_, key_):
+            out, new_st = self.model.apply(
+                {"params": p_, **st_},
+                w_,
+                deterministic=False,
+                rngs={"dropout": key_},
+                mutable=list(st_.keys()),
+            )
+            return out, dict(new_st)
+
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(pspec, xspec, pspec, pspec),
+            out_specs=(xspec, pspec),
+        )(p, w, st, dropout_key)
+
+    def _sp_apply_eval(self, params, w):
+        from jax import shard_map
+
+        pspec, xspec = self._sp_specs()
+
+        def local(p_, w_):
+            return self.model.apply(p_, w_, deterministic=True)
+
+        return shard_map(
+            local, mesh=self.mesh, in_specs=(pspec, xspec), out_specs=xspec
+        )(params, w)
 
     def _build_train_step(self):
         chunk = self._model_chunk()
@@ -243,15 +330,22 @@ class Trainer:
                     # Mutable model state (BatchNorm running stats): threaded
                     # through the scan carry, EMA-updated per model call just
                     # like sequential torch forwards.
-                    def apply_fn(w, st):
-                        out, new_st = self.model.apply(
-                            {"params": p, **st},
-                            w,
-                            deterministic=False,
-                            rngs={"dropout": dropout_key},
-                            mutable=list(st.keys()),
-                        )
-                        return out, dict(new_st)
+                    if self.sp_shardmap:
+
+                        def apply_fn(w, st):
+                            return self._sp_apply_stateful(p, w, st, dropout_key)
+
+                    else:
+
+                        def apply_fn(w, st):
+                            out, new_st = self.model.apply(
+                                {"params": p, **st},
+                                w,
+                                deterministic=False,
+                                rngs={"dropout": dropout_key},
+                                mutable=list(st.keys()),
+                            )
+                            return out, dict(new_st)
 
                     y_pred, new_state = rollout_fixed_stateful(
                         apply_fn, x, n_steps, chunk, state
@@ -299,12 +393,11 @@ class Trainer:
 
         @jax.jit
         def eval_step(params, x, y):
-            y_pred = rollout_fixed(
-                lambda w: self._apply(params, w, deterministic=True),
-                x,
-                n_steps,
-                chunk,
-            )
+            if self.sp_shardmap:
+                apply_fn = lambda w: self._sp_apply_eval(params, w)
+            else:
+                apply_fn = lambda w: self._apply(params, w, deterministic=True)
+            y_pred = rollout_fixed(apply_fn, x, n_steps, chunk)
             return jnp.mean(loss_metric(y_pred.astype(y.dtype), y, None))
 
         return eval_step

@@ -364,3 +364,25 @@ def test_patch_dense_transpose_equals_conv_transpose():
             {"params": dict(v["params"])}, x
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_avit_gradient_checkpointing_same_params_and_grads():
+    """The remat flag (reference avit.py:341-372 exposes the same) must not
+    change the parameter tree, the forward, or gradient shapes."""
+    from tante_tpu.models import AViT
+
+    kw = dict(
+        in_T=T, dset_metadata=MD, out_steps=1, patch_size=(16, 16),
+        embed_dim=64, num_heads=4, processor_blocks=2,
+    )
+    plain = AViT(**kw)
+    remat = AViT(**kw, gradient_checkpointing=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    v1 = plain.init(jax.random.PRNGKey(1), x)
+    v2 = remat.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    y1 = plain.apply(v1, x)
+    y2 = remat.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(remat.apply(p, x) ** 2))(v2)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))

@@ -713,3 +713,187 @@ def test_trainer_tp_keeps_fused_kernel(well_root_tiny, tmp_path):
     loss_tp, _ = t_tp.train_one_epoch(1, dm_tp.train_dataloader())
     loss_1, _ = t_1.train_one_epoch(1, dm_1.train_dataloader())
     np.testing.assert_allclose(loss_tp, loss_1, rtol=1e-4)
+
+
+@requires_8
+def test_sharded_spectral_conv_matches_unsharded():
+    """Model-level sp primitive (VERDICT r3 item #3): the H-sharded
+    partial-DFT spectral conv equals the single-device op."""
+    from tante_tpu.ops.spectral import spectral_conv2d_centered
+    from tante_tpu.parallel.halo import sharded_spectral_conv2d_centered
+
+    mesh = make_mesh(8, ("sp",), (8,), devices=cpu_devices)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 24, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(6, 5, 8, 5, 2)).astype(np.float32) * 0.1)
+    ref = spectral_conv2d_centered(x, w, 8, 8)
+    got = jax.jit(
+        lambda a, b: sharded_spectral_conv2d_centered(mesh, a, b, 8, 8)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@requires_8
+def test_fno_sp_train_step_matches_unsharded(well_root, tmp_path):
+    """FNO end-to-end under a (dp=2, sp=4) mesh: the spectral convs run
+    H-sharded (one mode-space psum each), every other op H-local under the
+    SPMD partitioner; the training trajectory equals single-device."""
+    from tante_tpu.data import TanteDataModule
+    from tante_tpu.models import FNO
+    from tante_tpu.train import MSE, L2RE, AdamW, Trainer
+
+    def build(mesh):
+        dm = TanteDataModule(
+            base_path=well_root,
+            dataset_name="synthetic_waves",
+            batch_size=8,
+            n_steps_input=4,
+            n_steps_output=2,
+            eval_steps_output=4,
+            data_workers=2,
+            seed=0,
+        )
+        md = dm.train_dataset.metadata
+        model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
+        return dm, Trainer(
+            checkpoint_folder=str(tmp_path / ("sp" if mesh else "single")),
+            formatter="channels_first_default",
+            model=model,
+            datamodule=dm,
+            optimizer=AdamW(lr=1e-3),
+            train_loss_fn=MSE(),
+            eval_loss_fn=L2RE(),
+            max_epoch=1,
+            n_steps_output=2,
+            n_steps_rollout=4,
+            seed=0,
+            mesh=mesh,
+        )
+
+    mesh = make_mesh(8, ("dp", "sp"), (2, 4), devices=cpu_devices)
+    dm1, t1 = build(None)
+    dm8, t8 = build(mesh)
+    assert t8.model.sp_mesh is not None  # Trainer selected the sp path
+
+    loss1, _ = t1.train_one_epoch(1, dm1.train_dataloader())
+    loss8, _ = t8.train_one_epoch(1, dm8.train_dataloader())
+    np.testing.assert_allclose(loss1, loss8, rtol=2e-4)
+
+    # eval path too (scan rollout of sharded applies)
+    v1 = t1.validation_loop(dm1.val_dataloader())
+    v8 = t8.validation_loop(dm8.val_dataloader())
+    np.testing.assert_allclose(v1, v8, rtol=2e-4)
+
+    # The input batches really are H-sharded: 8 distinct device shards.
+    batch = next(iter(dm8.train_dataloader()))
+    assert len(batch["input"].sharding.device_set) == 8
+    spec = batch["input"].sharding.spec
+    assert tuple(spec)[:3] == ("dp", None, "sp")
+
+
+@requires_8
+def test_unet_sp_forward_and_train_step_match_unsharded(well_root, tmp_path):
+    """AttentionUNet (conv pyramid) under an sp=4 mesh: every 3x3 conv
+    halo-exchanges boundary rows, BatchNorm stats sync across the mesh;
+    forward and a training epoch equal single-device."""
+    from tante_tpu.data import TanteDataModule
+    from tante_tpu.models.unet_att import AttentionUNet
+    from tante_tpu.train import MSE, L2RE, AdamW, Trainer
+
+    def build(mesh):
+        dm = TanteDataModule(
+            base_path=well_root,
+            dataset_name="synthetic_waves",
+            batch_size=8,
+            n_steps_input=4,
+            n_steps_output=1,
+            eval_steps_output=2,
+            data_workers=2,
+            seed=0,
+        )
+        md = dm.train_dataset.metadata
+        model = AttentionUNet(in_T=4, dset_metadata=md, depth=2, out_T=1)
+        return dm, Trainer(
+            checkpoint_folder=str(tmp_path / ("usp" if mesh else "usingle")),
+            formatter="channels_first_default",
+            model=model,
+            datamodule=dm,
+            optimizer=AdamW(lr=1e-3),
+            train_loss_fn=MSE(),
+            eval_loss_fn=L2RE(),
+            max_epoch=1,
+            n_steps_output=1,
+            n_steps_rollout=2,
+            seed=0,
+            mesh=mesh,
+        )
+
+    mesh = make_mesh(8, ("dp", "sp"), (2, 4), devices=cpu_devices)
+    dm1, t1 = build(None)
+    dm8, t8 = build(mesh)
+    assert t8.sp_shardmap  # Trainer selected the whole-forward shard_map path
+
+    loss1, _ = t1.train_one_epoch(1, dm1.train_dataloader())
+    loss8, _ = t8.train_one_epoch(1, dm8.train_dataloader())
+    np.testing.assert_allclose(loss1, loss8, rtol=6e-4)
+
+    v1 = t1.validation_loop(dm1.val_dataloader())
+    v8 = t8.validation_loop(dm8.val_dataloader())
+    np.testing.assert_allclose(v1, v8, rtol=6e-4)
+
+    # BatchNorm running stats synced over the mesh equal the global-batch
+    # stats of the single-device run.
+    # Epoch-end stats only match loosely: the per-forward parity is ~1e-7
+    # (test_unet_sp_single_forward_matches_unsharded below) but an epoch of
+    # AdamW steps chaotically amplifies f32 reduction-order noise.
+    s1 = jax.tree.leaves(t1.params["batch_stats"])
+    s8 = jax.tree.leaves(t8.params["batch_stats"])
+    for a, b in zip(s1, s8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@requires_8
+def test_unet_sp_single_forward_matches_unsharded():
+    """Strict sp parity for the halo-conv U-Net, one forward: eval output
+    bitwise-class equal, training BatchNorm stats equal to reduction-order
+    noise (measured 6e-8)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tante_tpu.models.unet_att import AttentionUNet
+
+    mesh = make_mesh(8, ("dp", "sp"), (2, 4), devices=cpu_devices)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 4, 32, 64, 3)).astype(np.float32))
+    plain = AttentionUNet(in_T=4, dset_metadata=None, depth=2, out_T=1)
+    sp = plain.clone(sp_axis="sp", stat_axes=("dp", "sp"))
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+    xspec = P("dp", None, "sp")
+
+    y1 = plain.apply(v, x, deterministic=True)
+    y8 = jax.jit(
+        lambda p, w: shard_map(
+            lambda p_, w_: sp.apply(p_, w_, deterministic=True),
+            mesh=mesh, in_specs=(P(), xspec), out_specs=xspec,
+        )(p, w)
+    )(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y8), atol=1e-5)
+
+    def tr1(p, w):
+        out, st = plain.apply(p, w, deterministic=False, mutable=["batch_stats"])
+        return out, st
+
+    def tr8(p, w):
+        def local(p_, w_):
+            out, st = sp.apply(p_, w_, deterministic=False, mutable=["batch_stats"])
+            return out, dict(st)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(), xspec), out_specs=(xspec, P())
+        )(p, w)
+
+    o1, st1 = jax.jit(tr1)(v, x)
+    o8, st8 = jax.jit(tr8)(v, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o8), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
