@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.fourier import block_diag_complex_matmul, softshrink
+from tante_tpu.ops.activations import gelu
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -60,7 +61,7 @@ class AFNOFilter(nn.Module):
         xf = xf.reshape(*xf.shape[:-1], nb, bs)
         re, im = xf.real, xf.imag
         re, im = block_diag_complex_matmul(re, im, w1[0], w1[1])
-        re, im = nn.gelu(re, approximate=False), nn.gelu(im, approximate=False)
+        re, im = gelu(re), gelu(im)
         re, im = block_diag_complex_matmul(re, im, w2[0], w2[1])
         re = softshrink(re, self.sparsity_threshold)
         im = softshrink(im, self.sparsity_threshold)
@@ -92,7 +93,7 @@ class AFNOBlock(nn.Module):
             residual = y
         z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(y)
         z = nn.Dense(int(self.hidden_dim * self.mlp_ratio), kernel_init=trunc02, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = nn.Dense(self.hidden_dim, kernel_init=trunc02, dtype=self.dtype)(z)
         return z + residual
 

@@ -32,6 +32,7 @@ from einops import rearrange
 
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
+from tante_tpu.ops.activations import gelu
 
 
 class DropPath(nn.Module):
@@ -226,7 +227,7 @@ class AxialAttentionBlock(nn.Module):
 
         residual = x
         z = TorchDense(4 * c, dtype=self.dtype)(x)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(c, dtype=self.dtype)(z)
         z = RMSInstanceNorm(c, name="mlp_norm")(z)
         gamma_mlp = self.param(
@@ -246,10 +247,10 @@ class HMLPStem(nn.Module):
         e4 = self.embed_dim // 4
         x = nn.Conv(e4, (4, 4), strides=(4, 4), use_bias=False, dtype=self.dtype)(x)
         x = RMSInstanceNorm(e4)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Conv(e4, (2, 2), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
         x = RMSInstanceNorm(e4)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Conv(self.embed_dim, (2, 2), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
         return RMSInstanceNorm(self.embed_dim)(x)
 
@@ -268,10 +269,10 @@ class HMLPOutput(nn.Module):
         e4 = self.embed_dim // 4
         x = nn.ConvTranspose(e4, (2, 2), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
         x = RMSInstanceNorm(e4)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.ConvTranspose(e4, (2, 2), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
         x = RMSInstanceNorm(e4)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.ConvTranspose(self.out_chans, (4, 4), strides=(4, 4), dtype=self.dtype)(x)
 
 

@@ -38,6 +38,7 @@ from tante_tpu.models.common import (
 )
 from tante_tpu.ops.attention import MultiheadAttention
 from tante_tpu.ops.initializers import torch_xavier_init
+from tante_tpu.ops.activations import gelu
 
 
 class MlpBlock(nn.Module):
@@ -48,7 +49,7 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim, kernel_init=torch_xavier_init, dtype=self.dtype)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.out_dim, kernel_init=torch_xavier_init, dtype=self.dtype)(x)
 
 
@@ -130,7 +131,7 @@ class ResidualMlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for _ in range(self.num_layers):
             y = TorchDense(self.hidden_dim, dtype=self.dtype)(x)
-            y = nn.gelu(y, approximate=False)
+            y = gelu(y)
             x = x + y
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return TorchDense(self.out_dim, dtype=self.dtype)(x)

@@ -23,13 +23,14 @@ import jax.numpy as jnp
 
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.fourier import block_diag_complex_matmul
+from tante_tpu.ops.activations import gelu
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
 def _act(name: str):
     return {
-        "gelu": lambda x: nn.gelu(x, approximate=False),
+        "gelu": lambda x: gelu(x),
         "relu": nn.relu,
         "tanh": jnp.tanh,
         "sigmoid": nn.sigmoid,

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.convs import RealConv2d, RealTransConv2d
 from tante_tpu.ops.spectral import SpectralLayer
+from tante_tpu.ops.activations import gelu
 
 # patch_scale -> 2-stage patch sizes (reference enc_dec_fno.py:39-46).
 FNO_PATCH_MAP = {
@@ -44,13 +45,13 @@ class EncFNO(nn.Module):
         b, t = x.shape[0], x.shape[1]
         z = x.reshape(b * t, *x.shape[2:])
         z = SpectralLayer(in_channels, self.embed_dim // 8, m1, m2, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = RealConv2d(self.embed_dim // 4, p[0], self.overlap_ratio, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = SpectralLayer(
             self.embed_dim // 4, self.embed_dim // 2, m1 // p[0], m2 // p[0], dtype=self.dtype
         )(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = RealConv2d(self.embed_dim, p[1], self.overlap_ratio, dtype=self.dtype)(z)
         return z.reshape(b, t, *z.shape[1:])
 
@@ -71,12 +72,12 @@ class DecFNO(nn.Module):
         b, t = x.shape[0], x.shape[1]
         z = x.reshape(b * t, *x.shape[2:])
         z = RealTransConv2d(self.embed_dim // 2, p[1], self.overlap_ratio, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = SpectralLayer(
             self.embed_dim // 2, self.embed_dim // 4, m1 // p[0], m2 // p[0], dtype=self.dtype
         )(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = RealTransConv2d(self.embed_dim // 8, p[0], self.overlap_ratio, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = SpectralLayer(self.embed_dim // 8, out_channels, m1, m2, dtype=self.dtype)(z)
         return z.reshape(b, t, *z.shape[1:])

@@ -26,6 +26,7 @@ from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
 from tante_tpu.ops.initializers import complex_spectral_init
 from tante_tpu.ops.spectral import spectral_conv2d_centered, spectral_conv3d_centered
+from tante_tpu.ops.activations import gelu
 
 
 class SoftGate(nn.Module):
@@ -87,13 +88,13 @@ class FNOBlock(nn.Module):
                     x.astype(jnp.float32), weight, self.modes1, self.modes2
                 ).astype(x.dtype)
         y = y + TorchDense(self.hidden, dtype=self.dtype)(x)  # linear fno skip
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(self.hidden, dtype=self.dtype)(z)
         y = z + SoftGate()(y)
         if not self.last:
-            y = nn.gelu(y, approximate=False)
+            y = gelu(y)
         return y
 
 
@@ -122,7 +123,7 @@ class FNO(nn.Module):
         spatial = x.shape[2:-1]
         z = jnp.moveaxis(x, 1, -2).reshape(b, *spatial, t * c)  # fold T into channels
         z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(self.hidden_channels, dtype=self.dtype)(z)
         block_cls = FNOBlock
         if self.gradient_checkpointing:
@@ -138,6 +139,6 @@ class FNO(nn.Module):
                 dtype=self.dtype,
             )(z)
         z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(c, dtype=self.dtype)(z)
         return z[:, None]  # (B, 1, H, W, C)

@@ -27,6 +27,7 @@ from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
 from tante_tpu.models.fno import SoftGate
 from tante_tpu.ops.spectral import spectral_conv2d_centered
+from tante_tpu.ops.activations import gelu
 
 
 def _tucker_ranks(shape: Sequence[int], rank: float) -> tuple:
@@ -89,13 +90,13 @@ class TFNOBlock(nn.Module):
             x.astype(jnp.float32), weight, self.modes1, self.modes2
         ).astype(x.dtype)
         y = y + TorchDense(self.hidden, dtype=self.dtype)(x)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(self.hidden, dtype=self.dtype)(z)
         y = z + SoftGate()(y)
         if not self.last:
-            y = nn.gelu(y, approximate=False)
+            y = gelu(y)
         return y
 
 
@@ -118,7 +119,7 @@ class TFNO(nn.Module):
         b, t, h, w, c = x.shape
         z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)
         z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(self.hidden_channels, dtype=self.dtype)(z)
         block_cls = nn.remat(TFNOBlock) if self.gradient_checkpointing else TFNOBlock
         for i in range(self.n_layers):
@@ -131,6 +132,6 @@ class TFNO(nn.Module):
                 dtype=self.dtype,
             )(z)
         z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
-        z = nn.gelu(z, approximate=False)
+        z = gelu(z)
         z = TorchDense(c, dtype=self.dtype)(z)
         return z[:, None]

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
+from tante_tpu.ops.activations import gelu
 
 
 class ChannelL2Norm(nn.Module):
@@ -75,7 +76,7 @@ class ConvNextBlock(nn.Module):
             bias_init=torch_bias_init(self.dim),
             dtype=self.dtype,
         )(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(
             self.dim,
             kernel_init=torch_kernel_init,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
+from tante_tpu.ops.activations import gelu
 
 
 def uno_spectral_conv(
@@ -121,7 +122,7 @@ class UNOOperatorBlock(nn.Module):
         y_pw = bicubic_resize(y_pw.astype(jnp.float32), out_hw).astype(x.dtype)
         y = y_spec + y_pw
         if self.non_lin:
-            y = nn.gelu(y, approximate=False)
+            y = gelu(y)
         return y
 
 
@@ -155,9 +156,9 @@ class UNO(nn.Module):
         z = jnp.concatenate([z, grid], axis=-1)
 
         z_fc = TorchDense(16, dtype=self.dtype)(z)
-        z_fc = nn.gelu(z_fc, approximate=False)
+        z_fc = gelu(z_fc)
         z0 = TorchDense(self.width, dtype=self.dtype)(z_fc)
-        z0 = nn.gelu(z0, approximate=False)
+        z0 = gelu(z0)
 
         if self.pad:
             z0 = jnp.pad(
@@ -184,7 +185,7 @@ class UNO(nn.Module):
             c6 = c6[:, self.pad : -self.pad, self.pad : -self.pad, :]
 
         y = TorchDense(3 * self.width, dtype=self.dtype)(c6)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = jnp.concatenate([y, z_fc], axis=-1)
         y = TorchDense(c, dtype=self.dtype)(y)
         return y[:, None]
