@@ -146,10 +146,12 @@ def build_adaptive():
     rollout (``trainer/r_evaler.py:160-164``): a trained interprator emits
     r_t >> 1, so a 16-step rollout takes a handful of calls instead of 16.
     Fresh ``init`` params have r_t ~ 1.001 (degenerate 1-frame-per-call),
-    so to bench a trained operating point we set the interprator's final
-    layer to a constant pre-clip t = OUT_T_CAP - 1.001 => r_t = OUT_T_CAP.
-    Throughput of the other 99.9% of the network is unaffected: the
-    interprator is a 3-layer per-token MLP.
+    so the interprator (a 3-layer per-token MLP — throughput of the other
+    99.9% of the network is unaffected) is loaded from TRAINED weights:
+    ``tante_tpu/assets/interprator_flagship.npz``, extracted from a
+    flagship-geometry (128x384) R_Trainer checkpoint whose realized
+    operating point is r_t = 8.0 / 2 calls per 16-step rollout
+    (scripts/trained_head_bench.py; docs/EVIDENCE.md round-4 row).
 
     Operating point: OUT_T_CAP = 8 frames/call => 2 calls per 16-step
     rollout.  This is the r_t the reference's own band penalty targets
@@ -205,12 +207,36 @@ def build_adaptive():
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    # Trained-operating-point surgery (see docstring): final interprator
-    # layer -> constant pre-clip t = OUT_T_CAP - 1.001 per token =>
-    # r_t = OUT_T_CAP => floor(r_t) frames consumed per call.
-    head = params["params"]["interprators_0"]["TorchDense_2"]["Dense_0"]
-    head["kernel"] = jnp.zeros_like(head["kernel"])
-    head["bias"] = jnp.full_like(head["bias"], OUT_T_CAP - 1.001)
+    # TRAINED interprator weights (VERDICT r3 item #4): the checked-in asset
+    # holds the confidence head from a flagship-geometry (128x384x4)
+    # R_Trainer run (rt_eps=7; on-distribution measurement 2 calls/rollout,
+    # scripts/trained_head_bench.py; training details + caveats in
+    # docs/EVIDENCE.md round 4 — the rt_eps=7 band is unreachable under the
+    # reference's out_T=1.5 training cap, which saturates the head at the
+    # clip boundary and drifts accuracy; the variable-frame trainer that
+    # fixes this is the round-4 replacement path).  Every other weight
+    # stays at init — weights don't change throughput, they change the
+    # CALL COUNT, which the JSON line reports from the measured rollouts.
+    # Falls back to r_t = OUT_T_CAP bias surgery only if the asset is
+    # missing.
+    head_tree = params["params"]["interprators_0"]
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tante_tpu", "assets", "interprator_flagship.npz",
+    )
+    if os.path.exists(asset):
+        loaded = np.load(asset)
+        for key in loaded.files:
+            node = head_tree
+            *path, leaf = key.split("/")
+            for part in path:
+                node = node[part]
+            assert node[leaf].shape == loaded[key].shape, (key, node[leaf].shape)
+            node[leaf] = jnp.asarray(loaded[key], dtype=node[leaf].dtype)
+    else:  # pragma: no cover - asset is committed
+        head = head_tree["TorchDense_2"]["Dense_0"]
+        head["kernel"] = jnp.zeros_like(head["kernel"])
+        head["bias"] = jnp.full_like(head["bias"], OUT_T_CAP - 1.001)
 
     @jax.jit
     def rollout(params, x):

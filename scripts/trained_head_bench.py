@@ -39,6 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("exp_dir")
     ap.add_argument("--data", default="/tmp/flagship_well")
+    ap.add_argument("--dataset", default="synthetic_waves")
     ap.add_argument("--choose", default="best")
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
@@ -50,7 +51,7 @@ def main():
 
     dm = TanteDataModule(
         base_path=args.data,
-        dataset_name="synthetic_waves",
+        dataset_name=args.dataset,
         batch_size=args.batch,
         n_steps_input=4,
         n_steps_output=4,
@@ -78,6 +79,10 @@ def main():
 
     ckpt = CheckpointManager(args.exp_dir)
     params = ckpt.restore_params(os.path.join(args.exp_dir, args.choose), params)
+    # restore_params returns HOST numpy arrays; without an explicit
+    # device_put every jitted call re-uploads the full param tree over the
+    # ~25 ms-RTT tunnel (measured: 277 vs ~12k f/s at the same call count).
+    params = jax.device_put(params)
 
     @jax.jit
     def rollout(params, x):

@@ -31,12 +31,16 @@ def make_well_dataset(
     n_steps: int = 24,
     resolution: tuple = (32, 64),
     with_t2: bool = False,
+    with_pressure: bool = False,
     seed: int = 0,
 ) -> str:
     """Write a synthetic Well dataset; returns its root directory.
 
     ``resolution`` may be 2-D ``(H, W)`` or 3-D ``(D, H, W)`` — the Well
     format (and the dataset reader) is generic over ``n_spatial_dims``.
+    ``with_pressure`` adds a second t0 scalar so a 2-D dataset has the
+    turbulent_radiative_layer channel schema exactly (density, pressure,
+    velocity_x, velocity_y = 4 fields — the bench geometry).
     """
     rng = np.random.default_rng(seed)
     d = len(resolution)
@@ -44,13 +48,15 @@ def make_well_dataset(
     root = os.path.join(base_path, dataset_name)
     os.makedirs(root, exist_ok=True)
 
-    field_specs = {"t0": ["density"], "t1": ["velocity"], "t2": ["stress"] if with_t2 else []}
+    t0_names = ["density", "pressure"] if with_pressure else ["density"]
+    field_specs = {"t0": t0_names, "t1": ["velocity"], "t2": ["stress"] if with_t2 else []}
 
     # stats.yaml: per-field mean/std; vector/tensor fields get per-component
     # stats arrays (the reference broadcasts them over trailing dims).
     stats = {"mean": {}, "std": {}}
-    stats["mean"]["density"] = 0.0
-    stats["std"]["density"] = 1.0
+    for nm in t0_names:
+        stats["mean"][nm] = 0.0
+        stats["std"][nm] = 1.0
     stats["mean"]["velocity"] = [0.0] * d
     stats["std"]["velocity"] = [1.0] * d
     if with_t2:
@@ -110,6 +116,12 @@ def make_well_dataset(
                 ds = t0.create_dataset("density", data=wave(*k1) + 0.5 * wave(*k2))
                 ds.attrs["sample_varying"] = True
                 ds.attrs["time_varying"] = True
+                if with_pressure:
+                    ds = t0.create_dataset(
+                        "pressure", data=wave(*k2) + 0.25 * wave(*k1)
+                    )
+                    ds.attrs["sample_varying"] = True
+                    ds.attrs["time_varying"] = True
 
                 t1 = f.create_group("t1_fields")
                 t1.attrs["field_names"] = field_specs["t1"]
