@@ -34,10 +34,12 @@ def _spatial_axes(x):
 class Metric:
     """Base class; subclasses define ``eval`` (+ optionally ``eval_rt``)."""
 
-    def __call__(self, x, y, rt=None, eps: float = 0.5, n: float = 2.0):
+    def __call__(
+        self, x, y, rt=None, eps: float = 0.5, n: float = 2.0, band_hi: float = 4.0
+    ):
         loss_spatial = self.eval(x, y)
         if rt is not None:
-            return jnp.mean(loss_spatial) + self.eval_rt(rt, eps, n)
+            return jnp.mean(loss_spatial) + self.eval_rt(rt, eps, n, band_hi)
         return loss_spatial
 
     @staticmethod
@@ -45,7 +47,7 @@ class Metric:
         raise NotImplementedError
 
     @staticmethod
-    def eval_rt(rt, eps, n):  # pragma: no cover - abstract
+    def eval_rt(rt, eps, n, band_hi=4.0):  # pragma: no cover - abstract
         raise NotImplementedError
 
 
@@ -55,14 +57,22 @@ class MSE(Metric):
         return jnp.mean((x - y) ** 2, axis=_spatial_axes(x))  # [B, T, C]
 
     @staticmethod
-    def eval_rt(rt, eps=0.5, n=2.0):
-        # Band penalty pulling mean r_t into [1 + eps, 4]
-        # (reference trainer/metrics.py:62-80).
+    def eval_rt(rt, eps=0.5, n=2.0, band_hi=4.0):
+        # Band penalty pulling mean r_t into [1 + eps, band_hi].  The
+        # reference hardcodes the band's anchor at 4 (trainer/metrics.py:
+        # 62-80, ``up = min(1+eps, 4); down = max(1+eps, 4)``) — with its
+        # out_T = 1.5 training cap that anchor is unreachable for any
+        # eps > 0.5, which makes the penalty a CONSTANT uphill gradient
+        # through the interprator's straight-through clip (measured to
+        # drift the whole backbone into divergence at flagship geometry;
+        # docs/EVIDENCE.md round 4).  band_hi = 4.0 is exact reference
+        # parity; the variable-frame trainer (rollout_adaptive_train_vf)
+        # raises it together with train_out_T so the band is reachable.
         beta1 = 5e-3
         beta2 = 1e-1
         rt_avg = jnp.mean(rt)
-        up = min(1.0 + eps, 4.0)
-        down = max(1.0 + eps, 4.0)
+        up = min(1.0 + eps, band_hi)
+        down = max(1.0 + eps, band_hi)
         low = jnp.maximum(up - rt_avg, 0.0)
         high = jnp.maximum(rt_avg - down, 0.0)
         return beta1 * low**n + beta2 * high**n

@@ -27,17 +27,51 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tante_tpu.train.rollout import rollout_adaptive_eval, rollout_adaptive_train
+from tante_tpu.train.rollout import (
+    rollout_adaptive_eval,
+    rollout_adaptive_train,
+    rollout_adaptive_train_vf,
+)
 from tante_tpu.train.trainer import Trainer
 
 TRAIN_OUT_T = 1.5  # caps r_t in (1.001, 1.501) -> one frame per call
 
 
 class R_Trainer(Trainer):
+    """``train_out_T`` / ``rt_band_hi`` (beyond the reference): the
+    reference always trains with out_T = 1.5 (one frame per call,
+    ``r_trainer.py:123``) and anchors the r_t band at 4
+    (``trainer/metrics.py:70-71``) — so the confidence head never trains
+    against the multi-frame Taylor blocks it emits at eval, and any
+    rt_eps > 0.5 makes the band unreachable under the 1.5 cap (a constant
+    uphill gradient through the straight-through clip; measured to drift
+    the backbone into divergence at flagship geometry, docs/EVIDENCE.md
+    round 4).  Setting ``train_out_T >= 2`` switches to the
+    variable-frame engine (``rollout_adaptive_train_vf``): each call
+    emits a static floor(train_out_T)-frame block, the rollout consumes
+    floor(r_t) frames exactly like eval, and ``rt_band_hi`` raises the
+    band anchor with it so the target is reachable.  Defaults preserve
+    reference semantics exactly."""
+
     def __init__(self, *args: Any, **kwargs: Any):
         kwargs.setdefault("grad_clip", "value")
         kwargs.setdefault("n_steps_output", 4)
+        self.train_out_T = float(kwargs.pop("train_out_T", TRAIN_OUT_T))
+        self.rt_band_hi = float(kwargs.pop("rt_band_hi", 4.0))
         super().__init__(*args, **kwargs)
+        band_up = min(1.0 + self.rt_eps, self.rt_band_hi)
+        if band_up > self.train_out_T:
+            import warnings
+
+            warnings.warn(
+                f"r_t band target {band_up} is unreachable under the"
+                f" train_out_T={self.train_out_T} cap: the band penalty"
+                " becomes a constant uphill gradient through the"
+                " straight-through clip and can drift the backbone into"
+                " divergence (docs/EVIDENCE.md round 4). Raise train_out_T"
+                " (variable-frame training) or lower rt_eps/rt_band_hi.",
+                stacklevel=2,
+            )
 
     def _apply_adaptive(self, params, x, out_T, deterministic, rngs=None):
         return self.model.apply(
@@ -47,34 +81,64 @@ class R_Trainer(Trainer):
     def _build_train_step(self):
         n_steps = self.n_steps_output
         loss_metric = self.train_loss_fn
-        rt_eps, rt_n = self.rt_eps, self.rt_n
+        rt_eps, rt_n, band_hi = self.rt_eps, self.rt_n, self.rt_band_hi
+        out_t = self.train_out_T
+        vf = out_t >= 2.0
+        k = int(out_t) if vf else 1
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(variables, opt_state, x, y, dropout_key):
             params = variables["params"]
-            state = {k: v for k, v in variables.items() if k != "params"}
+            state = {k2: v for k2, v in variables.items() if k2 != "params"}
+
+            def apply(p, w):
+                return self._apply_adaptive(
+                    {"params": p, **state},
+                    w,
+                    out_t,
+                    deterministic=False,
+                    rngs={"dropout": dropout_key},
+                )
 
             def loss_fn(p):
-                y_pred, rts = rollout_adaptive_train(
-                    lambda w: self._apply_adaptive(
-                        {"params": p, **state},
-                        w,
-                        TRAIN_OUT_T,
-                        deterministic=False,
-                        rngs={"dropout": dropout_key},
-                    ),
-                    x,
-                    n_steps,
+                if vf:
+                    y_pred, rts, actives = rollout_adaptive_train_vf(
+                        partial(apply, p), x, n_steps, k
+                    )
+                    # Masked r_t mean/var over the REAL calls only (the
+                    # scan's inactive tail slots never ran a consuming
+                    # call); passed to the band penalty as a scalar.
+                    w = actives.astype(rts.dtype)[:, None]
+                    n_act = jnp.maximum(jnp.sum(w) * rts.shape[1], 1.0)
+                    rt_avg = jnp.sum(rts * w) / n_act
+                    rt_var = jnp.sqrt(
+                        jnp.sum((rts - rt_avg) ** 2 * w) / n_act
+                    )
+                    calls = jnp.sum(actives.astype(jnp.float32))
+                else:
+                    y_pred, rts = rollout_adaptive_train(
+                        partial(apply, p), x, n_steps
+                    )
+                    rt_avg = jnp.mean(rts)
+                    rt_var = jnp.std(rts, ddof=1)
+                    calls = jnp.float32(n_steps)
+                loss = loss_metric(
+                    y_pred.astype(y.dtype), y, rt_avg, rt_eps, rt_n, band_hi
                 )
-                loss = loss_metric(y_pred.astype(y.dtype), y, rts, rt_eps, rt_n)
-                return loss, rts
+                return loss, (rt_avg, rt_var, calls)
 
-            (loss, rts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            rt_avg = jnp.mean(rts)
-            rt_var = jnp.std(rts, ddof=1)
-            return {"params": params, **state}, opt_state, loss, rt_avg, rt_var
+            rt_avg, rt_var, calls = aux
+            return (
+                {"params": params, **state},
+                opt_state,
+                loss,
+                rt_avg,
+                rt_var,
+                calls,
+            )
 
         return train_step
 
@@ -104,7 +168,14 @@ class R_Trainer(Trainer):
         start = time.time()
         for batch in dataloader:
             (x,), y = self.formatter.process_input(batch)
-            self.params, self.opt_state, loss, rt_avg, rt_var = self._train_step(
+            (
+                self.params,
+                self.opt_state,
+                loss,
+                rt_avg,
+                rt_var,
+                calls,
+            ) = self._train_step(
                 self.params, self.opt_state, x, y, self._next_dropout_key()
             )
             self.global_step += 1
@@ -112,9 +183,9 @@ class R_Trainer(Trainer):
             rts.append(float(rt_avg))
             rt_vars.append(float(rt_var))
             # "steps" statistic: model calls per 4 target frames (reference
-            # r_trainer.py:166 logs len(Rts)/4 for a batch-of-1 loop; here
-            # every sample uses n_steps_output calls by construction).
-            steps.append(self.n_steps_output * x.shape[0] / 4)
+            # r_trainer.py:166 logs len(Rts)/4 for a batch-of-1 loop; the
+            # whole batch shares one call sequence here, so scale by B).
+            steps.append(float(calls) * x.shape[0] / 4)
         logs = {
             "time_per_train_iter": (time.time() - start) / n_batches,
             "train_loss": epoch_loss,

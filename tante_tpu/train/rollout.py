@@ -210,6 +210,71 @@ def rollout_adaptive_train(
     return y_pred[:, :n_steps], rts
 
 
+def rollout_adaptive_train_vf(
+    apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    window: jnp.ndarray,
+    n_steps: int,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Variable-frame adaptive TRAINING rollout (differentiable).
+
+    The reference trains the adaptive model with ``out_T = 1.5`` so every
+    call emits exactly one frame (``r_trainer.py:123``) — its batch-of-1
+    Python loop cannot express variable-frame emission, so the confidence
+    head never trains against the multi-frame Taylor blocks it will emit
+    at eval.  This engine can: each call emits a static K-frame Taylor
+    block, the rollout CONSUMES ``floor(r_t)`` of it exactly like the eval
+    engine, and gradients flow through every surviving frame.
+
+    Reverse-mode differentiability rules out ``lax.while_loop``, so this is
+    a ``lax.scan`` of ``n_steps`` calls (the 1-frame worst case) with
+    masked advance: once the emitted-frame count reaches ``n_steps``,
+    further iterations stop consuming (emit = 0 keeps the window and
+    buffer fixed).  Inactive slots SKIP the model forward entirely via
+    ``lax.cond`` — at a converged r_t ~ K operating point only
+    ~n_steps/K of the n_steps slots pay a real forward+backward, so the
+    trained policy speeds up its own training.  Static shapes throughout.
+
+    apply_fn: window -> (frames (B, K, ...), rt (B,)).
+    Returns (y_pred (B, n_steps, ...), rts (n_steps, B), active
+    (n_steps,) bool — which scan slots performed a real call).
+    """
+    t_in = window.shape[1]
+    b = window.shape[0]
+    # k must equal the model's static emission count (frames.shape[1]);
+    # it may exceed n_steps (the buffer padding absorbs the overshoot).
+    # Padded output buffer, same garbage-tail-overwrite contract as
+    # rollout_adaptive_eval.
+    out0 = jnp.zeros((b, n_steps + k) + window.shape[2:], dtype=window.dtype)
+    spec = jax.eval_shape(apply_fn, jax.ShapeDtypeStruct(window.shape, window.dtype))
+
+    def skip_fn(win):
+        return tuple(jnp.zeros(s.shape, s.dtype) for s in spec)
+
+    def body(carry, _):
+        win, out, cum = carry
+        active = cum < n_steps
+        frames, rt = jax.lax.cond(active, apply_fn, skip_fn, win)
+        emit = jnp.where(active, jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k), 0)
+        # Masked write: inactive iterations must not clobber the final
+        # frames (cum stops moving), so blend with the current block
+        # instead of writing unconditionally.  dus/ds have exact VJPs;
+        # overwritten (speculative-tail) frames receive zero gradient,
+        # which matches consumption: a frame is trained iff it is used.
+        cur = jax.lax.dynamic_slice_in_dim(out, cum, k, axis=1)
+        blk = jnp.where(active, frames.astype(out.dtype), cur)
+        out = jax.lax.dynamic_update_slice_in_dim(out, blk, cum, axis=1)
+        cat = jnp.concatenate([win, frames.astype(win.dtype)], axis=1)
+        # emit = 0 -> slice at offset 0 returns the window unchanged.
+        win = jax.lax.dynamic_slice_in_dim(cat, emit, t_in, axis=1)
+        return (win, out, cum + emit), (rt, active)
+
+    (_, out, _), (rts, actives) = jax.lax.scan(
+        body, (window, out0, jnp.int32(0)), None, length=n_steps
+    )
+    return out[:, :n_steps], rts, actives
+
+
 def rollout_adaptive_eval(
     apply_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
     window: jnp.ndarray,

@@ -8,6 +8,7 @@ import numpy as np
 from tante_tpu.train.rollout import (
     rollout_adaptive_eval,
     rollout_adaptive_train,
+    rollout_adaptive_train_vf,
     rollout_fixed,
 )
 
@@ -110,6 +111,59 @@ def test_rollout_adaptive_eval_rt_one_equals_fixed():
     assert int(n_calls) == 4
     fixed = rollout_fixed(lambda w: fn(w)[0][:, :1], x, 4, 1)
     np.testing.assert_allclose(np.asarray(y), np.asarray(fixed), rtol=1e-5)
+
+
+def test_rollout_adaptive_train_vf_matches_eval_engine():
+    """The differentiable variable-frame TRAIN engine must produce the
+    same trajectory (frames consumed, window slides) as the while-loop
+    eval engine for the same r_t policy."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, T, H, W, C))
+    n_steps = 8
+    for rt_value in [1.2, 2.4, 3.7, 4.9]:
+        k = 4
+        fn = adaptive_fake_model(k, rt_value)
+        y_vf, rts, actives = rollout_adaptive_train_vf(fn, x, n_steps, k)
+        y_ev, _, n_calls = rollout_adaptive_eval(
+            fn, x, n_steps, max_frames_per_call=k
+        )
+        assert y_vf.shape == (B, n_steps, H, W, C)
+        np.testing.assert_allclose(
+            np.asarray(y_vf), np.asarray(y_ev), rtol=1e-5
+        )
+        assert int(np.sum(np.asarray(actives))) == int(n_calls)
+        assert rts.shape == (n_steps, B)
+
+
+def test_rollout_adaptive_train_vf_is_differentiable():
+    """Gradients flow through surviving frames; speculative-tail frames
+    (overwritten by the next call) receive zero gradient but don't break
+    the chain."""
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, T, H, W, C))
+    w0 = jnp.ones((C,))
+
+    def loss(w):
+        def fn(win):
+            base = jnp.mean(win, axis=1, keepdims=True) * w
+            frames = jnp.concatenate([base * (1.0 + 0.1 * j) for j in range(3)], axis=1)
+            rt = jnp.full((win.shape[0],), 2.5)
+            return frames, rt
+
+        y, rts, actives = rollout_adaptive_train_vf(fn, x, 8, 3)
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss)(w0)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_rollout_adaptive_train_vf_k1_equals_reference_trainer():
+    """k=1 degenerates to the reference's one-frame-per-call trainer."""
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, T, H, W, C))
+    fn = adaptive_fake_model(1, 1.3)
+    y_vf, _, actives = rollout_adaptive_train_vf(fn, x, 4, 1)
+    y_ref, _ = rollout_adaptive_train(fn, x, 4)
+    np.testing.assert_allclose(np.asarray(y_vf), np.asarray(y_ref), rtol=1e-5)
+    assert int(np.sum(np.asarray(actives))) == 4
 
 
 def test_rollout_fixed_is_differentiable():

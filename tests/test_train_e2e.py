@@ -176,6 +176,52 @@ def test_adaptive_trainer_and_evaler(dm_tiny, tmp_path):
     assert 1 <= report["model_calls_per_rollout"] <= 4
 
 
+def test_adaptive_trainer_variable_frame(dm, tmp_path):
+    """train_out_T >= 2 switches R_Trainer to the variable-frame engine:
+    multi-frame Taylor blocks are consumed floor(r_t) at a time during
+    TRAINING (the reference's batch-of-1 loop can't express this), the
+    band anchor rides rt_band_hi, and the step still optimizes."""
+    md = dm.train_dataset.metadata
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="TH",
+        embed_dim=32,
+        patch_scale=8,
+        deg=False,
+        n_head=4,
+        dropout=0.1,
+    )
+    trainer = make_trainer(
+        dm, model, tmp_path, cls=R_Trainer, train_out_T=2.0, rt_band_hi=2.0
+    )
+    loader = dm.train_dataloader()
+    loss, logs = trainer.train_one_epoch(1, loader)
+    assert np.isfinite(loss)
+    # rt lives in (1.001, 2.001) under the out_T=2 clip; the "steps"
+    # statistic must reflect REAL calls (<= n_steps_output per rollout).
+    assert 1.0 <= logs["rt"] <= 2.01
+    assert logs["steps"] <= trainer.n_steps_output * dm.batch_size / 4 + 1e-6
+    loss2, logs2 = trainer.train_one_epoch(2, loader)
+    assert np.isfinite(loss2)
+    val = trainer.validation_loop(dm.val_dataloader())
+    assert np.isfinite(val)
+
+
+def test_r_trainer_warns_on_unreachable_band(dm_tiny, tmp_path):
+    """rt_eps > 0.5 under the reference's out_T=1.5 cap makes the band
+    penalty a constant uphill gradient (measured to diverge at flagship
+    geometry, docs/EVIDENCE.md round 4) — the trainer must say so."""
+    md = dm_tiny.train_dataset.metadata
+    model = TANTE(
+        in_T=4, dset_metadata=md, taylor_order=1, attn_axes="TH",
+        embed_dim=32, patch_scale=8, deg=False, n_head=4,
+    )
+    with pytest.warns(UserWarning, match="unreachable"):
+        make_trainer(dm_tiny, model, tmp_path, cls=R_Trainer, rt_eps=7.0)
+
+
 def test_batchnorm_model_trains_and_updates_stats(dm_tiny, tmp_path):
     """AttentionUNet exercises the mutable batch_stats path through the
     compiled rollout (SURVEY.md hard part #5)."""
