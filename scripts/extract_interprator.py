@@ -1,16 +1,16 @@
-"""Extract the trained interprator (confidence head) from an R_Trainer
-checkpoint into ``tante_tpu/assets/interprator_flagship.npz``.
+"""Extract trained weights from an R_Trainer checkpoint into a bench asset.
 
-The asset feeds ``bench.py``'s adaptive lane: the interprator is the only
-weight group whose VALUES change the benchmark (they set the realized call
-count); everything else stays at init because weights don't change
-throughput.  Provenance of the shipped asset: a flagship-geometry
-(128x384x4, turbulent-radiative-layer channel schema) R_Trainer run,
-rt_eps=7 band -> realized r_t = 8.0 (2 calls / 16-step rollout); see
-docs/EVIDENCE.md round-4 rows.
+Default: the interprator (confidence head) only ->
+``tante_tpu/assets/interprator_flagship.npz``.  With ``--full``: the whole
+param tree -> ``tante_tpu/assets/tante_flagship.npz`` (~17 MB f32) — the
+honest bench mode, where the adaptive lane runs a REAL trained model on
+on-distribution input and the realized call count is the trained
+operating point, not a head reacting to out-of-distribution activations
+(the head-only asset measured 3 calls on random input vs 2 calls
+on-distribution; docs/EVIDENCE.md round 4).
 
 Usage:
-  python scripts/extract_interprator.py <experiment_dir> [--choose recent]
+  python scripts/extract_interprator.py <experiment_dir> [--choose recent] [--full]
 """
 
 from __future__ import annotations
@@ -28,16 +28,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("exp_dir")
     ap.add_argument("--choose", default="recent")
-    ap.add_argument(
-        "--out",
-        default=os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "tante_tpu",
-            "assets",
-            "interprator_flagship.npz",
-        ),
-    )
+    ap.add_argument("--full", action="store_true",
+                    help="extract the whole param tree, not just the head")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    assets = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tante_tpu",
+        "assets",
+    )
+    out = args.out or os.path.join(
+        assets, "tante_flagship.npz" if args.full else "interprator_flagship.npz"
+    )
+    args.out = out
 
     import jax
 
@@ -45,12 +48,13 @@ def main():
 
     import orbax.checkpoint as ocp
 
-    # Raw (target-free) restore: only the interprator subtree is needed, so
-    # no template pytree is required.
+    # Raw (target-free) restore: no template pytree is required.
     raw = ocp.StandardCheckpointer().restore(
         os.path.join(args.exp_dir, args.choose), None
     )
-    head = raw["params"]["params"]["interprators_0"]
+    head = raw["params"]["params"]
+    if not args.full:
+        head = head["interprators_0"]
 
     flat = {}
 

@@ -55,7 +55,9 @@ MODELS = ["tante", "fno", "tfno", "afno", "uno", "dpot", "avit", "cvit",
           "unet_convnext", "unet_att"]
 
 
-def bench_model(name: str, bf16: bool = True):
+def build_rollout(name: str, bf16: bool = True):
+    """(rollout, params, x, chunk) for one zoo family at the bench
+    protocol — shared by the timing loop below and scripts/zoo_trace.py."""
     cfg = load_config(name)
     model = instantiate(cfg.model, dset_metadata=MD)
     # bf16 compute — the protocol the per-family A100 bound is granted
@@ -115,6 +117,11 @@ def bench_model(name: str, bf16: bool = True):
     def probe(y):
         return jnp.sum(y[..., 0, 0, 0].astype(jnp.float32))
 
+    return rollout, params, x, chunk, probe
+
+
+def bench_model(name: str, bf16: bool = True):
+    rollout, params, x, chunk, probe = build_rollout(name, bf16)
     y = rollout(params, x)
     float(probe(y))  # compile + warm
     inputs = [x + 0.001 * i for i in range(REPS)]

@@ -27,14 +27,14 @@ from tante_tpu.train import (
 )
 
 
-def make_dm(well_root, n_out=1):
+def make_dm(well_root, n_out=1, eval_out=4):
     return TanteDataModule(
         base_path=well_root,
         dataset_name="synthetic_waves",
         batch_size=4,
         n_steps_input=4,
         n_steps_output=n_out,
-        eval_steps_output=4,
+        eval_steps_output=eval_out,
         data_workers=2,
         seed=0,
     )
@@ -104,7 +104,7 @@ def test_adaptive_tante_converges_and_saves_calls(well_root, tmp_path):
     trained confidence head must realize fewer eval calls than rollout
     steps — the reference's adaptive-efficiency claim
     (trainer/r_evaler.py:160-164) as a regression test."""
-    dm = make_dm(well_root, n_out=8)
+    dm = make_dm(well_root, n_out=8, eval_out=8)
     md = dm.train_dataset.metadata
     model = TANTE(
         in_T=4,
