@@ -136,6 +136,42 @@ def build(latent_cache: bool = True):
     return rollout, params, x
 
 
+def _wave_input(batch=None, t0: int = 0) -> np.ndarray:
+    """On-distribution input for the adaptive lane: the synthetic-waves
+    field construction of ``tante_tpu/data/synthetic.py`` (4-field
+    turbulent-radiative-layer channel schema: density, pressure,
+    velocity_x, velocity_y) at the bench geometry, with per-batch-element
+    trajectory parameters.  The stats of that dataset are identity
+    (mean 0 / std 1), so raw waves ARE the normalized training
+    distribution — the trained confidence head's realized call count on
+    this input is its trained operating point, not an OOD reaction
+    (random-normal input measured one extra call per rollout;
+    docs/EVIDENCE.md round 4)."""
+    b = batch or BATCH
+    h, w = RESOLUTION
+    rng = np.random.default_rng(7)
+    gx, gy = np.meshgrid(
+        np.linspace(0, 2 * np.pi, h, endpoint=False),
+        np.linspace(0, 2 * np.pi, w, endpoint=False),
+        indexing="ij",
+    )
+    phase = rng.uniform(0, 2 * np.pi, size=(b, 1, 1, 1)).astype(np.float32)
+    speed = rng.uniform(0.1, 0.3, size=(b, 1, 1, 1)).astype(np.float32)
+    t = (t0 + np.arange(IN_T, dtype=np.float32)).reshape(1, IN_T, 1, 1)
+
+    def wave(kx, ky, amp=1.0):
+        return amp * np.sin(kx * gx + ky * gy + phase + speed * t).astype(np.float32)
+
+    k1, k2 = (1, 2), (3, 1)
+    fields = [
+        wave(*k1) + 0.5 * wave(*k2),        # density
+        wave(*k2) + 0.25 * wave(*k1),       # pressure
+        wave(*k1),                           # velocity_x  (roll(k1, 0))
+        wave(k1[1], k1[0], amp=0.7),         # velocity_y  (roll(k1, 1))
+    ]
+    return np.stack(fields, axis=-1)
+
+
 OUT_T_CAP = 8  # adaptive lane: per-call Taylor-frame budget (= R_Evaler out_T_max)
 
 
@@ -146,12 +182,11 @@ def build_adaptive():
     rollout (``trainer/r_evaler.py:160-164``): a trained interprator emits
     r_t >> 1, so a 16-step rollout takes a handful of calls instead of 16.
     Fresh ``init`` params have r_t ~ 1.001 (degenerate 1-frame-per-call),
-    so the interprator (a 3-layer per-token MLP — throughput of the other
-    99.9% of the network is unaffected) is loaded from TRAINED weights:
-    ``tante_tpu/assets/interprator_flagship.npz``, extracted from a
-    flagship-geometry (128x384) R_Trainer checkpoint whose realized
-    operating point is r_t = 8.0 / 2 calls per 16-step rollout
-    (scripts/trained_head_bench.py; docs/EVIDENCE.md round-4 row).
+    so the lane loads TRAINED weights — the full flagship variable-frame
+    R_Trainer checkpoint when the asset is present (see the loading chain
+    below) — and runs it on on-distribution wave input (``_wave_input``),
+    so the reported call count is a trained model's realized operating
+    point (provenance: docs/EVIDENCE.md round 4).
 
     Operating point: OUT_T_CAP = 8 frames/call => 2 calls per 16-step
     rollout.  This is the r_t the reference's own band penalty targets
@@ -200,41 +235,47 @@ def build_adaptive():
         deg=False,
         dtype=jnp.bfloat16,
     )
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(BATCH, IN_T, *RESOLUTION, N_FIELDS)).astype(
-            np.float32
-        )
-    )
+    # On-distribution input (see _wave_input): the adaptive lane's call
+    # count comes from a trained confidence head reading REAL activations.
+    x = jnp.asarray(_wave_input())
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    # TRAINED interprator weights (VERDICT r3 item #4): the checked-in asset
-    # holds the confidence head from a flagship-geometry (128x384x4)
-    # R_Trainer run (rt_eps=7; on-distribution measurement 2 calls/rollout,
-    # scripts/trained_head_bench.py; training details + caveats in
-    # docs/EVIDENCE.md round 4 — the rt_eps=7 band is unreachable under the
-    # reference's out_T=1.5 training cap, which saturates the head at the
-    # clip boundary and drifts accuracy; the variable-frame trainer that
-    # fixes this is the round-4 replacement path).  Every other weight
-    # stays at init — weights don't change throughput, they change the
-    # CALL COUNT, which the JSON line reports from the measured rollouts.
-    # Falls back to r_t = OUT_T_CAP bias surgery only if the asset is
-    # missing.
-    head_tree = params["params"]["interprators_0"]
-    asset = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tante_tpu", "assets", "interprator_flagship.npz",
-    )
-    if os.path.exists(asset):
-        loaded = np.load(asset)
+    # TRAINED weights (VERDICT r3 item #4), best asset available:
+    #   1. tante_tpu/assets/tante_flagship.npz — the FULL param tree from a
+    #      converged flagship-geometry variable-frame R_Trainer run
+    #      (train_out_T=8, band [8,8]; docs/EVIDENCE.md round 4): the bench
+    #      measures a real trained model at its trained operating point.
+    #   2. interprator_flagship.npz — confidence head only, body at init
+    #      (the interim round-4 asset; the head reads init-body activations,
+    #      which measured one extra call/rollout vs on-distribution).
+    #   3. no asset: r_t = OUT_T_CAP bias surgery (rounds 2-3 protocol,
+    #      documented CAPABILITY point, not a trained one).
+    # Weights don't change per-call throughput — they change the CALL
+    # COUNT, which the JSON line reports from the measured rollouts.
+    def _load_npz(tree, path):
+        loaded = np.load(path)
         for key in loaded.files:
-            node = head_tree
-            *path, leaf = key.split("/")
-            for part in path:
+            node = tree
+            *parts, leaf = key.split("/")
+            for part in parts:
                 node = node[part]
             assert node[leaf].shape == loaded[key].shape, (key, node[leaf].shape)
             node[leaf] = jnp.asarray(loaded[key], dtype=node[leaf].dtype)
-    else:  # pragma: no cover - asset is committed
-        head = head_tree["TorchDense_2"]["Dense_0"]
+
+    assets = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tante_tpu", "assets"
+    )
+    full_asset = os.path.join(assets, "tante_flagship.npz")
+    head_asset = os.path.join(assets, "interprator_flagship.npz")
+    if os.path.exists(full_asset):
+        weights_mode = "trained_full"
+        _load_npz(params["params"], full_asset)
+    elif os.path.exists(head_asset):  # pragma: no cover - superseded asset
+        weights_mode = "trained_head"
+        _load_npz(params["params"]["interprators_0"], head_asset)
+    else:  # pragma: no cover - assets are committed
+        weights_mode = "surgery"
+        head = params["params"]["interprators_0"]["TorchDense_2"]["Dense_0"]
         head["kernel"] = jnp.zeros_like(head["kernel"])
         head["bias"] = jnp.full_like(head["bias"], OUT_T_CAP - 1.001)
 
@@ -253,7 +294,7 @@ def build_adaptive():
         )
         return y, n_calls
 
-    return model, rollout, params, x
+    return model, rollout, params, x, weights_mode
 
 
 def measure_out_of_loop(model, probe) -> float:
@@ -299,7 +340,7 @@ def measure_out_of_loop(model, probe) -> float:
 
 def bench_adaptive(probe):
     """Second (non-headline) lane: time-adaptive eval rollout throughput."""
-    model, rollout, params, x = build_adaptive()
+    model, rollout, params, x, weights_mode = build_adaptive()
 
     def run_synced(xi):
         y, n_calls = rollout(params, xi)
@@ -334,6 +375,7 @@ def bench_adaptive(probe):
                 "unit": "frames/s/chip (adaptive eval, B8 x 16-step, 128x384x4, bf16)",
                 "model_calls_per_rollout": calls,
                 "frames_per_call_budget": OUT_T_CAP,
+                "weights": weights_mode,
                 "out_of_loop_ms_per_rollout": oob_ms,
                 "vs_baseline": round(fps / A100_EST_FRAMES_PER_SEC, 3),
             }
