@@ -24,6 +24,12 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.fourier import block_diag_complex_matmul, softshrink
 from tante_tpu.ops.activations import gelu
+from tante_tpu.ops import spectral as _spectral
+from tante_tpu.ops.spectral import (
+    _partial_irdft2,
+    _partial_rdft2,
+    _partial_rdft_mats,
+)
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -57,6 +63,27 @@ class AFNOFilter(nn.Module):
         w2 = self.param("w2", w_init, (2, nb, bs, bs))
 
         orig_dtype = x.dtype
+        if len(axes) == 2 and _spectral._SPECTRAL_DFT:
+            # Full-mode dense rDFT2 as MXU matmuls: AFNO keeps EVERY mode
+            # (no truncation), but the patch grid is tiny (16x48 at the
+            # bench geometry) so the square DFT matrices are small and the
+            # contraction is MXU-native — XLA has no TPU FFT and its
+            # mixed-radix twiddle fusions dominated this model's rollout
+            # (docs/PERF.md round 4).  m1_pos=H, m1_neg=0, m2r=W//2+1 makes
+            # _partial_rdft_mats exact rfft2/irfft2 (f32 rounding only).
+            h, w = sizes
+            mats = _partial_rdft_mats(h, w, h, 0, w // 2 + 1, norm="ortho")
+            re, im = _partial_rdft2(x, mats)
+            re = re.reshape(*re.shape[:-1], nb, bs)
+            im = im.reshape(*im.shape[:-1], nb, bs)
+            re, im = block_diag_complex_matmul(re, im, w1[0], w1[1])
+            re, im = gelu(re), gelu(im)
+            re, im = block_diag_complex_matmul(re, im, w2[0], w2[1])
+            re = softshrink(re, self.sparsity_threshold)
+            im = softshrink(im, self.sparsity_threshold)
+            re = re.reshape(*re.shape[:-2], self.hidden_size)
+            im = im.reshape(*im.shape[:-2], self.hidden_size)
+            return _partial_irdft2(re, im, mats, out_dtype=orig_dtype)
         xf = jnp.fft.rfftn(x.astype(jnp.float32), axes=axes, norm="ortho")
         xf = xf.reshape(*xf.shape[:-1], nb, bs)
         re, im = xf.real, xf.imag

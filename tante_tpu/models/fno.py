@@ -84,8 +84,11 @@ class FNOBlock(nn.Module):
                     self.modes1, self.modes2,
                 ).astype(x.dtype)
             else:
+                # dtype-gated inside: bf16 field-space contractions with
+                # f32 MXU accumulation, no full-field f32 copies
+                # (ops/spectral.py round-4 note; f32 input = parity path).
                 y = spectral_conv2d_centered(
-                    x.astype(jnp.float32), weight, self.modes1, self.modes2
+                    x, weight, self.modes1, self.modes2
                 ).astype(x.dtype)
         y = y + TorchDense(self.hidden, dtype=self.dtype)(x)  # linear fno skip
         y = gelu(y)

@@ -86,9 +86,9 @@ class TFNOBlock(nn.Module):
         weight = TuckerSpectralWeight(
             shape=(self.hidden, self.hidden, self.modes1, m2r), rank=self.rank
         )()
-        y = spectral_conv2d_centered(
-            x.astype(jnp.float32), weight, self.modes1, self.modes2
-        ).astype(x.dtype)
+        # dtype-gated inside (ops/spectral.py): bf16 field-space, f32
+        # accumulation; f32 input keeps the exact parity path.
+        y = spectral_conv2d_centered(x, weight, self.modes1, self.modes2).astype(x.dtype)
         y = y + TorchDense(self.hidden, dtype=self.dtype)(x)
         y = gelu(y)
         z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)

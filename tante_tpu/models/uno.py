@@ -68,9 +68,9 @@ def uno_spectral_conv(
         o_im = jnp.einsum("bijc,coij->bijo", xr, w_im) + jnp.einsum(
             "bijc,coij->bijo", xi, w_re
         )
-        return _partial_irdft2(o_re, o_im, mats)
+        return _partial_irdft2(o_re, o_im, mats, out_dtype=x.dtype)
 
-    x_ft = jnp.fft.rfft2(x, axes=(1, 2), norm="forward")
+    x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="forward")
 
     y_ft = jnp.zeros((x.shape[0], h_out, wf_out, c_out), dtype=x_ft.dtype)
     # Degenerate levels (tiny inputs drive the U topology's D/32 stage to a
@@ -116,8 +116,10 @@ class UNOOperatorBlock(nn.Module):
         shape = (c_in, self.out_codim, self.modes1, self.modes2, 2)
         w1 = self.param("weights1", w_init, shape)
         w2 = self.param("weights2", w_init, shape)
-        x32 = x.astype(jnp.float32)
-        y_spec = uno_spectral_conv(x32, w1, w2, out_hw).astype(x.dtype)
+        # dtype-gated inside _partial_rdft2/_partial_irdft2: bf16 stays
+        # bf16 in field-space (f32 MXU accumulation); the FFT fallback
+        # upcasts internally.
+        y_spec = uno_spectral_conv(x, w1, w2, out_hw).astype(x.dtype)
         y_pw = nn.Conv(self.out_codim, kernel_size=(1, 1), dtype=self.dtype)(x)
         y_pw = bicubic_resize(y_pw.astype(jnp.float32), out_hw).astype(x.dtype)
         y = y_spec + y_pw

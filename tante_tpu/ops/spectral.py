@@ -87,11 +87,31 @@ def _partial_rdft_mats(
 
 
 def _partial_rdft2(x, mats):
-    """(B, H, W, C) real -> kept-mode (re, im), each (B, K, m2r, C)."""
+    """(B, H, W, C) real -> kept-mode (re, im), each (B, K, m2r, C) f32.
+
+    dtype gate (round-4 zoo trace, docs/PERF.md): the ONLY large tensor
+    here is the field-space input; under bf16 compute the W-contraction
+    reads it as bf16 and accumulates f32 on the MXU
+    (``preferred_element_type``), so no full-field f32 copy is ever
+    materialized — an FNO layer was ~900 us of pure HBM traffic from
+    exactly that copy.  Mode-space stays f32 throughout.  Under f32
+    input this is bit-identical to the original path (parity tests)."""
     fw_cos, fw_sin, fh_cos, fh_sin = mats[:4]
-    xf = x.astype(jnp.float32)
-    t_re = jnp.einsum("bhwc,wl->bhlc", xf, fw_cos)
-    t_im = -jnp.einsum("bhwc,wl->bhlc", xf, fw_sin)
+    if x.dtype == jnp.bfloat16:
+        # bf16 output (not preferred_element_type=f32): XLA:CPU's DotThunk
+        # rejects the mixed general dot, and on TPU the MXU accumulates in
+        # f32 internally either way — only the small mode-space output is
+        # rounded, below the bf16 input quantization already present.
+        t_re = jnp.einsum("bhwc,wl->bhlc", x, fw_cos.astype(x.dtype)).astype(
+            jnp.float32
+        )
+        t_im = -jnp.einsum("bhwc,wl->bhlc", x, fw_sin.astype(x.dtype)).astype(
+            jnp.float32
+        )
+    else:
+        xf = x.astype(jnp.float32)
+        t_re = jnp.einsum("bhwc,wl->bhlc", xf, fw_cos)
+        t_im = -jnp.einsum("bhwc,wl->bhlc", xf, fw_sin)
     # e^{-i theta}(a + ib) = (a cos + b sin) + i(b cos - a sin)
     xr = jnp.einsum("bhlc,hk->bklc", t_re, fh_cos) + jnp.einsum(
         "bhlc,hk->bklc", t_im, fh_sin
@@ -102,8 +122,13 @@ def _partial_rdft2(x, mats):
     return xr, xi
 
 
-def _partial_irdft2(yr, yi, mats):
-    """Kept-mode (re, im) (B, K, m2r, C) -> (B, H, W, C) real."""
+def _partial_irdft2(yr, yi, mats, out_dtype=jnp.float32):
+    """Kept-mode (re, im) (B, K, m2r, C) -> (B, H, W, C) ``out_dtype``.
+
+    Same dtype gate as the forward: only the final W-expansion touches
+    field-space, so under bf16 it runs with bf16 operands and emits bf16
+    directly (MXU accumulation is f32 regardless) instead of
+    materializing a full-field f32 tensor plus a cast pass."""
     iw_cos, iw_sin, ih_cos, ih_sin = mats[4:]
     # z = sum_k yhat_k e^{+2 pi i k h / H} / sqrt(H)
     z_re = jnp.einsum("bklc,kh->bhlc", yr, ih_cos) - jnp.einsum(
@@ -113,6 +138,12 @@ def _partial_irdft2(yr, yi, mats):
         "bklc,kh->bhlc", yi, ih_cos
     )
     # y = Re{ sum_l c_l z_l e^{+2 pi i l w / W} } / sqrt(W)
+    if out_dtype == jnp.bfloat16:
+        return jnp.einsum(
+            "bhlc,lw->bhwc", z_re.astype(out_dtype), iw_cos.astype(out_dtype)
+        ) - jnp.einsum(
+            "bhlc,lw->bhwc", z_im.astype(out_dtype), iw_sin.astype(out_dtype)
+        )
     return jnp.einsum("bhlc,lw->bhwc", z_re, iw_cos) - jnp.einsum(
         "bhlc,lw->bhwc", z_im, iw_sin
     )
@@ -160,10 +191,13 @@ def spectral_conv2d(
         o_im = jnp.einsum("bijc,coij->bijo", xr, w_im) + jnp.einsum(
             "bijc,coij->bijo", xi, w_re
         )
-        # f32 out, matching irfft2's return dtype on any input
-        return _partial_irdft2(o_re, o_im, mats)
+        # f32 out under f32 input (irfft2 parity); bf16 out under bf16
+        # compute (no full-field f32 materialization — see _partial_irdft2)
+        return _partial_irdft2(o_re, o_im, mats, out_dtype=x.dtype)
 
-    x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")  # (B, H, Wf, Cin)
+    x_ft = jnp.fft.rfft2(
+        x.astype(jnp.float32), axes=(-3, -2), norm="ortho"
+    )  # (B, H, Wf, Cin)
     wf = x_ft.shape[-2]
     m2 = min(modes2, wf)
     if m1 == 0 or m2 == 0:
@@ -232,9 +266,9 @@ def spectral_conv2d_centered(
         o_im = jnp.einsum("bijc,coij->bijo", xr, w_im) + jnp.einsum(
             "bijc,coij->bijo", xi, w_re
         )
-        return _partial_irdft2(o_re, o_im, mats)
+        return _partial_irdft2(o_re, o_im, mats, out_dtype=x.dtype)
 
-    x_ft = jnp.fft.rfft2(x, axes=(-3, -2), norm="ortho")
+    x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(-3, -2), norm="ortho")
     wf = x_ft.shape[-2]
     m2r = min(modes2 // 2 + 1, wf)
 
@@ -332,7 +366,9 @@ class SpectralLayer(nn.Module):
             w_init,
             (self.in_channels, self.out_channels, self.modes1, self.modes2, 2),
         )
-        y = spectral_conv2d(x.astype(jnp.float32), weight, self.modes1, self.modes2)
+        # dtype-gated inside spectral_conv2d (bf16 field-space, f32 MXU
+        # accumulation); f32 input keeps the exact parity path.
+        y = spectral_conv2d(x, weight, self.modes1, self.modes2)
         s = nn.Conv(
             features=self.out_channels,
             kernel_size=(1, 1),

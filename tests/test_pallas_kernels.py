@@ -457,3 +457,30 @@ def test_partial_dft_spectral_matches_fft():
         check(sp.spectral_conv2d, h, w, m1, m2, (5, 7, m1, m2, 2))
     for h, w, m1, m2 in [(16, 48, 5, 6), (17, 33, 7, 8), (32, 64, 15, 64)]:
         check(sp.spectral_conv2d_centered, h, w, m1, m2, (5, 7, m1, m2 // 2 + 1, 2))
+
+
+def test_afno_filter_dense_dft_matches_rfftn():
+    """AFNOFilter's full-mode dense-rDFT2 branch (models/afno.py, round 4)
+    must equal the rfftn -> mixer -> irfftn formulation to f32 rounding —
+    AFNO keeps every mode, so m1_pos=H/m2r=W//2+1 makes the DFT exact.
+    Covers even and odd grid sizes (Hermitian-half doubling edge)."""
+    import tante_tpu.ops.spectral as sp
+    from tante_tpu.models.afno import AFNOFilter
+
+    rng = np.random.default_rng(1)
+    for h, w in [(8, 24), (9, 13)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, 16)).astype(np.float32))
+        filt = AFNOFilter(hidden_size=16, num_blocks=4)
+        params = filt.init(jax.random.PRNGKey(0), x)
+        prev = sp._SPECTRAL_DFT
+        try:
+            sp._SPECTRAL_DFT = False
+            want = filt.apply(params, x)
+            sp._SPECTRAL_DFT = True
+            got = filt.apply(params, x)
+        finally:
+            sp._SPECTRAL_DFT = prev
+        rel = float(jnp.max(jnp.abs(want - got))) / (
+            float(jnp.max(jnp.abs(want))) + 1e-9
+        )
+        assert rel < 2e-5, (h, w, rel)
