@@ -58,6 +58,12 @@ class R_Trainer(Trainer):
         kwargs.setdefault("n_steps_output", 4)
         self.train_out_T = float(kwargs.pop("train_out_T", TRAIN_OUT_T))
         self.rt_band_hi = float(kwargs.pop("rt_band_hi", 4.0))
+        # Remat each variable-frame model call (default ON for vf: the
+        # scan otherwise saves every call's forward activations — ~58 GB
+        # at flagship geometry vs 16 GB of HBM; see rollout_adaptive_train_vf).
+        self.gradient_checkpointing = bool(
+            kwargs.pop("gradient_checkpointing", self.train_out_T >= 2.0)
+        )
         super().__init__(*args, **kwargs)
         band_up = min(1.0 + self.rt_eps, self.rt_band_hi)
         if band_up > self.train_out_T:
@@ -85,6 +91,7 @@ class R_Trainer(Trainer):
         out_t = self.train_out_T
         vf = out_t >= 2.0
         k = int(out_t) if vf else 1
+        remat = self.gradient_checkpointing
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(variables, opt_state, x, y, dropout_key):
@@ -103,7 +110,7 @@ class R_Trainer(Trainer):
             def loss_fn(p):
                 if vf:
                     y_pred, rts, actives = rollout_adaptive_train_vf(
-                        partial(apply, p), x, n_steps, k
+                        partial(apply, p), x, n_steps, k, remat=remat
                     )
                     # Masked r_t mean/var over the REAL calls only (the
                     # scan's inactive tail slots never ran a consuming

@@ -215,6 +215,7 @@ def rollout_adaptive_train_vf(
     window: jnp.ndarray,
     n_steps: int,
     k: int,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Variable-frame adaptive TRAINING rollout (differentiable).
 
@@ -236,6 +237,12 @@ def rollout_adaptive_train_vf(
     trained policy speeds up its own training.  Static shapes throughout.
 
     apply_fn: window -> (frames (B, K, ...), rt (B,)).
+    remat: ``jax.checkpoint`` each model call — without it the scan saves
+    every call's full forward activations for the backward pass, which at
+    flagship geometry (16 slots x 8-frame Taylor blocks x 128x384) needs
+    ~58 GB of HBM on a 16 GB chip; with it, residuals are one call's
+    carry and the forward is recomputed in the backward (the same
+    trade the zoo models' ``gradient_checkpointing`` flags make).
     Returns (y_pred (B, n_steps, ...), rts (n_steps, B), active
     (n_steps,) bool — which scan slots performed a real call).
     """
@@ -247,6 +254,7 @@ def rollout_adaptive_train_vf(
     # rollout_adaptive_eval.
     out0 = jnp.zeros((b, n_steps + k) + window.shape[2:], dtype=window.dtype)
     spec = jax.eval_shape(apply_fn, jax.ShapeDtypeStruct(window.shape, window.dtype))
+    call_fn = jax.checkpoint(apply_fn) if remat else apply_fn
 
     def skip_fn(win):
         return tuple(jnp.zeros(s.shape, s.dtype) for s in spec)
@@ -254,7 +262,7 @@ def rollout_adaptive_train_vf(
     def body(carry, _):
         win, out, cum = carry
         active = cum < n_steps
-        frames, rt = jax.lax.cond(active, apply_fn, skip_fn, win)
+        frames, rt = jax.lax.cond(active, call_fn, skip_fn, win)
         emit = jnp.where(active, jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k), 0)
         # Masked write: inactive iterations must not clobber the final
         # frames (cum stops moving), so blend with the current block

@@ -155,6 +155,21 @@ def test_rollout_adaptive_train_vf_is_differentiable():
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
 
+    # remat=True (R_Trainer's gradient_checkpointing) is a pure
+    # memory/recompute trade: value and gradient must be unchanged.
+    def loss_remat(w):
+        def fn(win):
+            base = jnp.mean(win, axis=1, keepdims=True) * w
+            frames = jnp.concatenate([base * (1.0 + 0.1 * j) for j in range(3)], axis=1)
+            rt = jnp.full((win.shape[0],), 2.5)
+            return frames, rt
+
+        y, _, _ = rollout_adaptive_train_vf(fn, x, 8, 3, remat=True)
+        return jnp.sum(y**2)
+
+    g_r = jax.grad(loss_remat)(w0)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g), rtol=1e-6)
+
 
 def test_rollout_adaptive_train_vf_k1_equals_reference_trainer():
     """k=1 degenerates to the reference's one-frame-per-call trainer."""
