@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 from tante_tpu.ops.activations import gelu
+from tante_tpu.ops.convs import DepthwiseConv2d
 
 
 class ChannelL2Norm(nn.Module):
@@ -33,7 +34,7 @@ class ChannelL2Norm(nn.Module):
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,))
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-        return x / jnp.maximum(norm, self.eps) * weight
+        return x / jnp.maximum(norm, self.eps) * weight.astype(x.dtype)
 
 
 def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32, groups=1, c_in=None):
@@ -59,11 +60,12 @@ class ConvNextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Conv(
+        # Lane-filling depthwise form (ops/convs.py:depthwise_conv2d_lanes):
+        # same param tree as nn.Conv(feature_group_count=dim), ~5x faster on
+        # TPU at these widths (see docs/PERF.md round 4).
+        y = DepthwiseConv2d(
             self.dim,
             kernel_size=(7, 7),
-            padding=((3, 3), (3, 3)),
-            feature_group_count=self.dim,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(49),
             dtype=self.dtype,
@@ -88,8 +90,11 @@ class ConvNextBlock(nn.Module):
                 "gamma",
                 lambda key: self.layer_scale_init_value * jnp.ones((self.dim,)),
             )
-            y = gamma * y
-        return x + y
+            # Cast the (f32) scale param to the compute dtype: under bf16 the
+            # f32*bf16 promotion would upcast the residual stream — and break
+            # the depth>1 nn.scan carry dtype contract.
+            y = gamma.astype(y.dtype) * y
+        return (x + y).astype(x.dtype)
 
 
 class _ConvNextScanCell(nn.Module):

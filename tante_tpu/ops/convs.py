@@ -427,3 +427,65 @@ class RealTransConv2d(nn.Module):
         if y.shape[-3] == tgt[0] and y.shape[-2] == tgt[1]:
             return y
         return resize_bilinear(y, tgt)
+
+
+def depthwise_conv2d_lanes(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Depthwise KxK 'same' conv as shift-and-add over a (W*C)-flat minor axis.
+
+    XLA's grouped-conv lowering for NHWC depthwise convs keeps C in the lane
+    (minor) dimension — at ConvNeXt widths (C=15..240 here, reference
+    ``models/unet_convnext.py:103-111``) that leaves most of the 128 VPU
+    lanes idle (measured 864 us for the 128x384x15 7x7 block, ~12% lane
+    utilization).  Flattening (W, C) into one minor axis fills the lanes and
+    turns the conv into K*K fused multiply-adds: a shift by dx columns is a
+    slice at offset dx*C of the padded flat axis, a shift by dy rows stays in
+    the sublane axis.  Accumulation is f32 (like XLA's conv accumulator),
+    output in x.dtype.
+
+    kernel: flax grouped-conv layout (kh, kw, 1, C); bias: (C,).
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, cc = kernel.shape
+    assert cc == c, (kernel.shape, x.shape)
+    ph0, ph1 = kh // 2, (kh - 1) // 2
+    pw0, pw1 = kw // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    xf = xp.reshape(b, h + kh - 1, (w + kw - 1) * c)
+    acc = None
+    for i in range(kh):
+        row = xf[:, i : i + h]
+        for j in range(kw):
+            seg = row[:, :, j * c : j * c + w * c]
+            wij = jnp.tile(kernel[i, j, 0].astype(x.dtype), w)
+            term = (seg * wij).astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    y = acc.reshape(b, h, w, c)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class DepthwiseConv2d(nn.Module):
+    """Param-tree-compatible drop-in for ``nn.Conv(feature_group_count=C)``
+    routed through :func:`depthwise_conv2d_lanes` (same 'kernel'/'bias'
+    names and shapes, so checkpoints and torch transplants are unchanged)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Any = torch_kernel_init
+    bias_init: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, 1, self.features)
+        )
+        bias_init = self.bias_init or torch_bias_init(kh * kw)
+        bias = self.param("bias", bias_init, (self.features,))
+        return depthwise_conv2d_lanes(x.astype(self.dtype), kernel, bias)

@@ -386,3 +386,45 @@ def test_avit_gradient_checkpointing_same_params_and_grads():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
     g = jax.grad(lambda p: jnp.sum(remat.apply(p, x) ** 2))(v2)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_depthwise_lane_form_equals_grouped_conv():
+    """ops/convs.py:depthwise_conv2d_lanes == XLA grouped conv (f32 exact).
+
+    The lane form is UNetConvNext's dwconv lowering (reference
+    ``models/unet_convnext.py:103-111``); parity here pins the shift-and-add
+    indexing at odd/even widths and non-divisor channel counts.
+    """
+    import jax
+    import jax.numpy as jnp
+    from tante_tpu.ops.convs import depthwise_conv2d_lanes
+
+    for h, w, c, kk in [(16, 24, 15, 7), (9, 13, 7, 5), (8, 8, 3, 3)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, c), jnp.float32)
+        kern = jax.random.normal(jax.random.PRNGKey(1), (kk, kk, 1, c), jnp.float32)
+        bias = jax.random.normal(jax.random.PRNGKey(2), (c,), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((kk // 2, (kk - 1) // 2),) * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        ) + bias
+        got = depthwise_conv2d_lanes(x, kern, bias)
+        assert float(jnp.abs(ref - got).max()) < 5e-5
+
+
+def test_unet_convnext_bf16_depth_scan_carry():
+    """bf16 compute must keep the depth>1 nn.scan carry in bf16 (regression:
+    the f32 layer-scale param promoted the residual stream, breaking the scan
+    dtype contract under ``dtype=bfloat16`` and silently upcasting blocks)."""
+    import jax
+    import jax.numpy as jnp
+    from tante_tpu.models import UNetConvNext
+
+    model = UNetConvNext(
+        in_T=T, dset_metadata=MD, stages=2, blocks_per_stage=2,
+        init_features=6, dtype=jnp.bfloat16,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, T, 16, 32, 3), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x)
+    assert y.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
