@@ -136,7 +136,7 @@ def build(latent_cache: bool = True):
     return rollout, params, x
 
 
-def _wave_input(batch=None, t0: int = 0) -> np.ndarray:
+def _wave_input(batch=None, t0: int = 0, n_frames: int = IN_T, seed: int = 7) -> np.ndarray:
     """On-distribution input for the adaptive lane: the synthetic-waves
     field construction of ``tante_tpu/data/synthetic.py`` (4-field
     turbulent-radiative-layer channel schema: density, pressure,
@@ -149,7 +149,7 @@ def _wave_input(batch=None, t0: int = 0) -> np.ndarray:
     docs/EVIDENCE.md round 4)."""
     b = batch or BATCH
     h, w = RESOLUTION
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     gx, gy = np.meshgrid(
         np.linspace(0, 2 * np.pi, h, endpoint=False),
         np.linspace(0, 2 * np.pi, w, endpoint=False),
@@ -157,7 +157,7 @@ def _wave_input(batch=None, t0: int = 0) -> np.ndarray:
     )
     phase = rng.uniform(0, 2 * np.pi, size=(b, 1, 1, 1)).astype(np.float32)
     speed = rng.uniform(0.1, 0.3, size=(b, 1, 1, 1)).astype(np.float32)
-    t = (t0 + np.arange(IN_T, dtype=np.float32)).reshape(1, IN_T, 1, 1)
+    t = (t0 + np.arange(n_frames, dtype=np.float32)).reshape(1, n_frames, 1, 1)
 
     def wave(kx, ky, amp=1.0):
         return amp * np.sin(kx * gx + ky * gy + phase + speed * t).astype(np.float32)
@@ -338,6 +338,53 @@ def measure_out_of_loop(model, probe) -> float:
     return 1000.0 * dt / MEASURE_ITERS
 
 
+def _adaptive_accuracy(model, params):
+    """VRMSE/L2RE of the adaptive (K=8) vs fixed-step (16-call) rollout of
+    the SAME trained body on one held-out wave batch — the accuracy half
+    of the "fewer calls at equal accuracy" claim, reported next to the
+    speed ratio (the reference reports both in one eval,
+    ``trainer/r_evaler.py:138-164``).  Full study incl. per-trajectory
+    r_t-vs-difficulty: scripts/eval_adaptive_accuracy.py."""
+    from tante_tpu.train.metrics import L2RE, VRMSE
+    from tante_tpu.train.rollout import rollout_adaptive_eval_tante
+
+    traj = _wave_input(n_frames=IN_T + N_STEPS, seed=123)  # held-out phases
+    x = jnp.asarray(traj[:, :IN_T])
+    y = jnp.asarray(traj[:, IN_T:], dtype=jnp.float32)
+
+    def metrics(y_pred):
+        y32 = y_pred.astype(jnp.float32)
+        return (
+            float(jnp.mean(VRMSE.eval(y32, y))),
+            float(jnp.mean(L2RE.eval(y32, y))),
+        )
+
+    @jax.jit
+    def run_adaptive(params, x):
+        return rollout_adaptive_eval_tante(
+            model, params, x, N_STEPS, max_frames_per_call=OUT_T_CAP
+        )
+
+    @jax.jit
+    def run_fixed(params, x):
+        return rollout_adaptive_eval_tante(
+            model, params, x, N_STEPS, max_frames_per_call=1
+        )
+
+    y_a, _, calls_a = run_adaptive(params, x)
+    y_f, _, calls_f = run_fixed(params, x)
+    va, la = metrics(y_a)
+    vf_, lf = metrics(y_f)
+    return {
+        "eval_vrmse_adaptive": round(va, 4),
+        "eval_vrmse_fixed16": round(vf_, 4),
+        "eval_l2re_adaptive": round(la, 4),
+        "eval_l2re_fixed16": round(lf, 4),
+        "eval_calls_adaptive": int(calls_a),
+        "eval_calls_fixed": int(calls_f),
+    }
+
+
 def bench_adaptive(probe):
     """Second (non-headline) lane: time-adaptive eval rollout throughput."""
     model, rollout, params, x, weights_mode = build_adaptive()
@@ -367,6 +414,10 @@ def bench_adaptive(probe):
         oob_ms = round(measure_out_of_loop(model, probe), 3)
     except Exception:
         oob_ms = None
+    try:
+        acc = _adaptive_accuracy(model, params)
+    except Exception as e:  # accuracy lane must never kill the speed line
+        acc = {"eval_accuracy_error": str(e)[:120]}
     print(
         json.dumps(
             {
@@ -377,6 +428,7 @@ def bench_adaptive(probe):
                 "frames_per_call_budget": OUT_T_CAP,
                 "weights": weights_mode,
                 "out_of_loop_ms_per_rollout": oob_ms,
+                **acc,
                 "vs_baseline": round(fps / A100_EST_FRAMES_PER_SEC, 3),
             }
         )

@@ -33,11 +33,13 @@ B = 8
 
 
 def grouped(x, kern, bias):
+    # bias in x.dtype so every variant is timed producing identical bf16
+    # outputs (an f32 bias would promote this variant's output to f32).
     return jax.lax.conv_general_dilated(
         x, kern.astype(x.dtype), (1, 1), ((K // 2, K // 2),) * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=x.shape[-1],
-    ) + bias
+    ) + bias.astype(x.dtype)
 
 
 def laneflat(x, kern, bias):
@@ -65,7 +67,7 @@ def dense(x, kern, bias):
     return jax.lax.conv_general_dilated(
         x, kd, (1, 1), ((K // 2, K // 2),) * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + bias
+    ) + bias.astype(x.dtype)
 
 
 def timeit(fn, *args, n=30):

@@ -24,14 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("exp_dir")
     ap.add_argument("--choose", default="recent")
     ap.add_argument("--full", action="store_true",
                     help="extract the whole param tree, not just the head")
     ap.add_argument("--out", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     assets = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tante_tpu",
@@ -44,13 +44,18 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    try:
+        # CPU-only when jax hasn't been initialized yet (standalone use);
+        # harmless no-op guard when a caller already holds a TPU backend.
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
     import orbax.checkpoint as ocp
 
     # Raw (target-free) restore: no template pytree is required.
     raw = ocp.StandardCheckpointer().restore(
-        os.path.join(args.exp_dir, args.choose), None
+        os.path.abspath(os.path.join(args.exp_dir, args.choose)), None
     )
     head = raw["params"]["params"]
     if not args.full:

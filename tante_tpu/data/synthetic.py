@@ -33,6 +33,8 @@ def make_well_dataset(
     with_t2: bool = False,
     with_pressure: bool = False,
     seed: int = 0,
+    speed_range: tuple = (0.1, 0.3),
+    difficulty_ramp: bool = False,
 ) -> str:
     """Write a synthetic Well dataset; returns its root directory.
 
@@ -41,6 +43,15 @@ def make_well_dataset(
     ``with_pressure`` adds a second t0 scalar so a 2-D dataset has the
     turbulent_radiative_layer channel schema exactly (density, pressure,
     velocity_x, velocity_y = 4 fields — the bench geometry).
+
+    ``difficulty_ramp``: give trajectory i the DETERMINISTIC wave speed
+    ``lo + (hi - lo) * i / (n - 1)`` over ``speed_range`` instead of a
+    random draw — a mixed-difficulty set where per-trajectory difficulty
+    is known by construction (wave speed is the temporal-extrapolation
+    difficulty knob: a Taylor expansion of sin(kx + wt) degrades over
+    ~1/w frames).  Used to train/evaluate a content-adaptive confidence
+    head (r_t should fall with speed).  The realized speeds are written
+    to the file attr ``wave_speeds``.
     """
     rng = np.random.default_rng(seed)
     d = len(resolution)
@@ -99,9 +110,15 @@ def make_well_dataset(
                 phase = rng.uniform(0, 2 * np.pi, size=(n_trajectories,)).reshape(
                     (n_trajectories,) + bshape[1:]
                 ).astype(np.float32)
-                speed = rng.uniform(0.1, 0.3, size=(n_trajectories,)).reshape(
-                    (n_trajectories,) + bshape[1:]
-                ).astype(np.float32)
+                lo, hi = speed_range
+                if difficulty_ramp:
+                    speeds = np.linspace(lo, hi, n_trajectories, dtype=np.float32)
+                else:
+                    speeds = rng.uniform(lo, hi, size=(n_trajectories,)).astype(
+                        np.float32
+                    )
+                f.attrs["wave_speeds"] = speeds
+                speed = speeds.reshape((n_trajectories,) + bshape[1:])
 
                 def wave(*ks, amp=1.0):
                     space = sum(k * g for k, g in zip(ks, grids))

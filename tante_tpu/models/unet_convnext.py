@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 from tante_tpu.ops.activations import gelu
-from tante_tpu.ops.convs import DepthwiseConv2d
 
 
 class ChannelL2Norm(nn.Module):
@@ -60,15 +59,14 @@ class ConvNextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # Lane-filling depthwise form (ops/convs.py:depthwise_conv2d_lanes):
-        # same param tree as nn.Conv(feature_group_count=dim), ~5x faster on
-        # TPU at these widths (see docs/PERF.md round 4).
-        y = DepthwiseConv2d(
-            self.dim,
-            kernel_size=(7, 7),
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(49),
-            dtype=self.dtype,
+        # XLA grouped conv, measured IN CONTEXT: the lane-flat shift-and-add
+        # form (ops/convs.py:depthwise_conv2d_lanes) wins the isolated op A/B
+        # 2.2x (scripts/dwconv_ab.py) but LOSES 2.7x inside the per-stage
+        # nn.scan bodies where its 49-tap f32 chain doesn't fuse — whole-model
+        # zoo rollout: grouped 636 / dense 546 / laneflat 233 f/s
+        # (scripts/dwconv_inmodel_ab.py; docs/PERF.md round 5).
+        y = _conv(
+            self.dim, 7, dtype=self.dtype, groups=self.dim, c_in=self.dim,
             name="dwconv",
         )(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(y)

@@ -446,11 +446,27 @@ def depthwise_conv2d_lanes(
     the sublane axis.  Accumulation is f32 (like XLA's conv accumulator),
     output in x.dtype.
 
+    MEASURED CONTEXT CAVEAT (round 5): this form wins the isolated op A/B
+    2.2x over the grouped conv (scripts/dwconv_ab.py) but LOSES 2.7x inside
+    UNetConvNext's per-stage ``nn.scan`` while bodies, where the K*K-tap
+    f32 chain fails to fuse (scripts/dwconv_inmodel_ab.py: grouped 636 /
+    dense 546 / lane-flat 233 f/s whole-model).  Measure in context before
+    adopting; ConvNextBlock uses the grouped conv for exactly this reason.
+
     kernel: flax grouped-conv layout (kh, kw, 1, C); bias: (C,).
     """
     b, h, w, c = x.shape
     kh, kw, _, cc = kernel.shape
-    assert cc == c, (kernel.shape, x.shape)
+    if cc != c:
+        raise ValueError(
+            f"depthwise kernel channels {cc} != input channels {c} "
+            f"(kernel {kernel.shape}, x {x.shape})"
+        )
+    if kh % 2 == 0 or kw % 2 == 0:
+        # Even kernels: this pads (k//2, (k-1)//2) per side, the REVERSE of
+        # flax/XLA 'SAME' ((k-1)//2, k//2) — drop-in parity with nn.Conv
+        # holds for odd kernels only (all in-repo users are 3/5/7).
+        raise ValueError(f"depthwise_conv2d_lanes requires odd kernels, got {(kh, kw)}")
     ph0, ph1 = kh // 2, (kh - 1) // 2
     pw0, pw1 = kw // 2, (kw - 1) // 2
     xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
@@ -482,6 +498,11 @@ class DepthwiseConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[-1] != self.features:
+            raise ValueError(
+                f"DepthwiseConv2d(features={self.features}) got input with "
+                f"{x.shape[-1]} channels (shape {x.shape})"
+            )
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, 1, self.features)

@@ -58,6 +58,22 @@ class R_Trainer(Trainer):
         kwargs.setdefault("n_steps_output", 4)
         self.train_out_T = float(kwargs.pop("train_out_T", TRAIN_OUT_T))
         self.rt_band_hi = float(kwargs.pop("rt_band_hi", 4.0))
+        # Optional content-adaptive r_t supervision (variable-frame mode
+        # only; 0.0 = off, exact reference semantics).  The reference
+        # trains the confidence head with the band penalty alone
+        # (``trainer/metrics.py:62-80``) plus the indirect FiLM pathway
+        # (``models/tante.py:149-152``) — nothing per-sample ties r_t to
+        # how far the CURRENT Taylor block actually stays accurate, which
+        # is the paper's stated meaning of r_t (a per-sample confidence
+        # interval, ``models/tante.py:149-163``).  With weight > 0 each
+        # consuming call's r_t_i is regressed onto the measured number of
+        # frames its emitted block keeps error below ``rt_sup_growth`` x
+        # the block's first-frame error — a differentiable, per-sample
+        # signal that makes r_t track input difficulty (targets are
+        # stop-gradient so the supervision shapes the HEAD, not the
+        # predictions).
+        self.rt_supervision = float(kwargs.pop("rt_supervision", 0.0))
+        self.rt_sup_growth = float(kwargs.pop("rt_sup_growth", 4.0))
         # Remat each variable-frame model call (default ON for vf: the
         # scan otherwise saves every call's forward activations — ~58 GB
         # at flagship geometry vs 16 GB of HBM; see rollout_adaptive_train_vf).
@@ -92,6 +108,7 @@ class R_Trainer(Trainer):
         vf = out_t >= 2.0
         k = int(out_t) if vf else 1
         remat = self.gradient_checkpointing
+        sup_w, sup_growth = self.rt_supervision, self.rt_sup_growth
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(variables, opt_state, x, y, dropout_key):
@@ -109,19 +126,22 @@ class R_Trainer(Trainer):
 
             def loss_fn(p):
                 if vf:
-                    y_pred, rts, actives = rollout_adaptive_train_vf(
+                    y_pred, rts, actives, cums = rollout_adaptive_train_vf(
                         partial(apply, p), x, n_steps, k, remat=remat
                     )
-                    # Masked r_t mean/var over the REAL calls only (the
-                    # scan's inactive tail slots never ran a consuming
-                    # call); passed to the band penalty as a scalar.
-                    w = actives.astype(rts.dtype)[:, None]
-                    n_act = jnp.maximum(jnp.sum(w) * rts.shape[1], 1.0)
+                    # Masked r_t mean/var over the REAL per-sample
+                    # consuming calls only (actives is (n_steps, B):
+                    # finished samples' tail slots never consumed);
+                    # passed to the band penalty as a scalar.
+                    w = actives.astype(rts.dtype)
+                    n_act = jnp.maximum(jnp.sum(w), 1.0)
                     rt_avg = jnp.sum(rts * w) / n_act
                     rt_var = jnp.sqrt(
                         jnp.sum((rts - rt_avg) ** 2 * w) / n_act
                     )
-                    calls = jnp.sum(actives.astype(jnp.float32))
+                    # A scan slot ran one real model call iff any sample
+                    # was still consuming in it.
+                    calls = jnp.sum(jnp.any(actives, axis=1).astype(jnp.float32))
                 else:
                     y_pred, rts = rollout_adaptive_train(
                         partial(apply, p), x, n_steps
@@ -132,6 +152,32 @@ class R_Trainer(Trainer):
                 loss = loss_metric(
                     y_pred.astype(y.dtype), y, rt_avg, rt_eps, rt_n, band_hi
                 )
+                if vf and sup_w > 0.0:
+                    # Per-frame spatial error of the stitched rollout.
+                    err = jnp.mean(
+                        (y_pred.astype(y.dtype) - y) ** 2,
+                        axis=tuple(range(2, y.ndim)),
+                    )  # (B, n_steps)
+                    # Edge-pad so each slot's K-frame window (starting at
+                    # that sample's cum offset) stays in bounds.
+                    err_pad = jnp.concatenate(
+                        [err, jnp.repeat(err[:, -1:], k, axis=1)], axis=1
+                    )
+                    gather = jax.vmap(  # over scan slots
+                        jax.vmap(
+                            lambda e, c: jax.lax.dynamic_slice_in_dim(
+                                e, c, k, axis=0
+                            ),
+                            in_axes=(0, 0),
+                        ),
+                        in_axes=(None, 0),
+                    )
+                    blk_err = gather(err_pad, cums)  # (n_steps, B, k)
+                    ok = blk_err <= sup_growth * blk_err[..., :1] + 1e-8
+                    good = jnp.cumprod(ok.astype(rts.dtype), axis=-1)
+                    target = jnp.clip(jnp.sum(good, axis=-1), 1.0, float(k))
+                    sup = (rts - jax.lax.stop_gradient(target)) ** 2
+                    loss = loss + sup_w * jnp.sum(sup * w) / n_act
                 return loss, (rt_avg, rt_var, calls)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

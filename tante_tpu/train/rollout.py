@@ -229,12 +229,17 @@ def rollout_adaptive_train_vf(
 
     Reverse-mode differentiability rules out ``lax.while_loop``, so this is
     a ``lax.scan`` of ``n_steps`` calls (the 1-frame worst case) with
-    masked advance: once the emitted-frame count reaches ``n_steps``,
-    further iterations stop consuming (emit = 0 keeps the window and
-    buffer fixed).  Inactive slots SKIP the model forward entirely via
-    ``lax.cond`` — at a converged r_t ~ K operating point only
-    ~n_steps/K of the n_steps slots pay a real forward+backward, so the
-    trained policy speeds up its own training.  Static shapes throughout.
+    masked advance: once a sample's emitted-frame count reaches
+    ``n_steps``, further iterations stop consuming FOR THAT SAMPLE
+    (emit_i = 0 keeps its window and buffer fixed).  Emission is
+    PER SAMPLE — each sample advances by its own floor(r_t_i), matching
+    the reference's per-sample training semantics (its batch-of-1 loop,
+    ``r_trainer.py:118``) rather than its eval-time batch-item-0 quirk
+    (``models/tante.py:163``).  A scan slot skips the model forward
+    entirely via ``lax.cond`` only when EVERY sample is done — at a
+    converged r_t ~ K operating point only ~n_steps/K of the n_steps
+    slots pay a real forward+backward, so the trained policy speeds up
+    its own training.  Static shapes throughout.
 
     apply_fn: window -> (frames (B, K, ...), rt (B,)).
     remat: ``jax.checkpoint`` each model call — without it the scan saves
@@ -244,7 +249,12 @@ def rollout_adaptive_train_vf(
     carry and the forward is recomputed in the backward (the same
     trade the zoo models' ``gradient_checkpointing`` flags make).
     Returns (y_pred (B, n_steps, ...), rts (n_steps, B), active
-    (n_steps,) bool — which scan slots performed a real call).
+    (n_steps, B) bool — which scan slots consumed frames for which
+    sample; a slot ran a real model call iff any sample was active —
+    and cums (n_steps, B) int32: each sample's emitted-frame offset
+    BEFORE each slot, i.e. where in the output buffer that slot's
+    Taylor block landed — the alignment the r_t error-growth
+    supervision in R_Trainer needs).
     """
     t_in = window.shape[1]
     b = window.shape[0]
@@ -259,28 +269,37 @@ def rollout_adaptive_train_vf(
     def skip_fn(win):
         return tuple(jnp.zeros(s.shape, s.dtype) for s in spec)
 
+    # Per-sample dynamic slice/update helpers (batch axis vmapped away so
+    # each sample reads/writes at its OWN cum offset).
+    _read = jax.vmap(lambda o, c: jax.lax.dynamic_slice_in_dim(o, c, k, axis=0))
+    _write = jax.vmap(
+        lambda o, blk, c: jax.lax.dynamic_update_slice_in_dim(o, blk, c, axis=0)
+    )
+    _slide = jax.vmap(lambda cat, e: jax.lax.dynamic_slice_in_dim(cat, e, t_in, axis=0))
+
     def body(carry, _):
-        win, out, cum = carry
-        active = cum < n_steps
-        frames, rt = jax.lax.cond(active, call_fn, skip_fn, win)
-        emit = jnp.where(active, jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k), 0)
-        # Masked write: inactive iterations must not clobber the final
-        # frames (cum stops moving), so blend with the current block
+        win, out, cum = carry  # cum: (B,) frames consumed per sample
+        active = cum < n_steps  # (B,)
+        frames, rt = jax.lax.cond(jnp.any(active), call_fn, skip_fn, win)
+        emit = jnp.where(active, jnp.clip(jnp.floor(rt).astype(jnp.int32), 1, k), 0)
+        # Masked write: a finished sample must not clobber its final
+        # frames (its cum stops moving), so blend with the current block
         # instead of writing unconditionally.  dus/ds have exact VJPs;
         # overwritten (speculative-tail) frames receive zero gradient,
         # which matches consumption: a frame is trained iff it is used.
-        cur = jax.lax.dynamic_slice_in_dim(out, cum, k, axis=1)
-        blk = jnp.where(active, frames.astype(out.dtype), cur)
-        out = jax.lax.dynamic_update_slice_in_dim(out, blk, cum, axis=1)
+        cur = _read(out, cum)
+        mask = active.reshape((b,) + (1,) * (frames.ndim - 1))
+        blk = jnp.where(mask, frames.astype(out.dtype), cur)
+        out = _write(out, blk, cum)
         cat = jnp.concatenate([win, frames.astype(win.dtype)], axis=1)
-        # emit = 0 -> slice at offset 0 returns the window unchanged.
-        win = jax.lax.dynamic_slice_in_dim(cat, emit, t_in, axis=1)
-        return (win, out, cum + emit), (rt, active)
+        # emit_i = 0 -> slice at offset 0 returns that window unchanged.
+        win = _slide(cat, emit)
+        return (win, out, cum + emit), (rt, active, cum)
 
-    (_, out, _), (rts, actives) = jax.lax.scan(
-        body, (window, out0, jnp.int32(0)), None, length=n_steps
+    (_, out, _), (rts, actives, cums) = jax.lax.scan(
+        body, (window, out0, jnp.zeros((b,), jnp.int32)), None, length=n_steps
     )
-    return out[:, :n_steps], rts, actives
+    return out[:, :n_steps], rts, actives, cums
 
 
 def rollout_adaptive_eval(

@@ -122,7 +122,7 @@ def test_rollout_adaptive_train_vf_matches_eval_engine():
     for rt_value in [1.2, 2.4, 3.7, 4.9]:
         k = 4
         fn = adaptive_fake_model(k, rt_value)
-        y_vf, rts, actives = rollout_adaptive_train_vf(fn, x, n_steps, k)
+        y_vf, rts, actives, cums = rollout_adaptive_train_vf(fn, x, n_steps, k)
         y_ev, _, n_calls = rollout_adaptive_eval(
             fn, x, n_steps, max_frames_per_call=k
         )
@@ -130,7 +130,11 @@ def test_rollout_adaptive_train_vf_matches_eval_engine():
         np.testing.assert_allclose(
             np.asarray(y_vf), np.asarray(y_ev), rtol=1e-5
         )
-        assert int(np.sum(np.asarray(actives))) == int(n_calls)
+        # actives is per-sample (n_steps, B); with a batch-uniform r_t
+        # every sample's call count equals the eval engine's.
+        act = np.asarray(actives)
+        assert act.shape == (n_steps, B)
+        assert (act.sum(axis=0) == int(n_calls)).all()
         assert rts.shape == (n_steps, B)
 
 
@@ -148,7 +152,7 @@ def test_rollout_adaptive_train_vf_is_differentiable():
             rt = jnp.full((win.shape[0],), 2.5)
             return frames, rt
 
-        y, rts, actives = rollout_adaptive_train_vf(fn, x, 8, 3)
+        y, rts, actives, _ = rollout_adaptive_train_vf(fn, x, 8, 3)
         return jnp.sum(y**2)
 
     g = jax.grad(loss)(w0)
@@ -164,7 +168,7 @@ def test_rollout_adaptive_train_vf_is_differentiable():
             rt = jnp.full((win.shape[0],), 2.5)
             return frames, rt
 
-        y, _, _ = rollout_adaptive_train_vf(fn, x, 8, 3, remat=True)
+        y, _, _, _ = rollout_adaptive_train_vf(fn, x, 8, 3, remat=True)
         return jnp.sum(y**2)
 
     g_r = jax.grad(loss_remat)(w0)
@@ -175,10 +179,47 @@ def test_rollout_adaptive_train_vf_k1_equals_reference_trainer():
     """k=1 degenerates to the reference's one-frame-per-call trainer."""
     x = jax.random.normal(jax.random.PRNGKey(9), (B, T, H, W, C))
     fn = adaptive_fake_model(1, 1.3)
-    y_vf, _, actives = rollout_adaptive_train_vf(fn, x, 4, 1)
+    y_vf, _, actives, _ = rollout_adaptive_train_vf(fn, x, 4, 1)
     y_ref, _ = rollout_adaptive_train(fn, x, 4)
     np.testing.assert_allclose(np.asarray(y_vf), np.asarray(y_ref), rtol=1e-5)
-    assert int(np.sum(np.asarray(actives))) == 4
+    assert (np.asarray(actives).sum(axis=0) == 4).all()
+
+
+def test_rollout_adaptive_train_vf_per_sample_emission():
+    """Each sample advances by its OWN floor(r_t_i) — the reference's
+    per-sample training semantics (its batch-of-1 loop,
+    r_trainer.py:118), not the eval-time batch-item-0 quirk.  Verified by
+    running each sample alone through the eval engine and comparing."""
+    x = jax.random.normal(jax.random.PRNGKey(10), (B, T, H, W, C))
+    n_steps, k = 8, 4
+    per_sample_rt = jnp.array([1.2, 3.7][:B])
+
+    def fn(window):
+        base = jnp.mean(window, axis=1, keepdims=True)
+        frames = jnp.concatenate(
+            [base * (1.0 + 0.1 * j) for j in range(k)], axis=1
+        )
+        return frames, jnp.broadcast_to(per_sample_rt[: window.shape[0]], (window.shape[0],))
+
+    y_vf, rts, actives, cums = rollout_adaptive_train_vf(fn, x, n_steps, k)
+    act = np.asarray(actives)
+    for i in range(B):
+        rt_i = float(per_sample_rt[i])
+
+        def fn_i(window, rt_i=rt_i):
+            base = jnp.mean(window, axis=1, keepdims=True)
+            frames = jnp.concatenate(
+                [base * (1.0 + 0.1 * j) for j in range(k)], axis=1
+            )
+            return frames, jnp.full((window.shape[0],), rt_i)
+
+        y_i, _, n_calls_i = rollout_adaptive_eval(
+            fn_i, x[i : i + 1], n_steps, max_frames_per_call=k
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_vf[i : i + 1]), np.asarray(y_i), rtol=1e-5
+        )
+        assert int(act[:, i].sum()) == int(n_calls_i)
 
 
 def test_rollout_fixed_is_differentiable():

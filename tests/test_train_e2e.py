@@ -209,6 +209,34 @@ def test_adaptive_trainer_variable_frame(dm, tmp_path):
     assert np.isfinite(val)
 
 
+def test_adaptive_trainer_rt_supervision(dm, tmp_path):
+    """rt_supervision > 0 adds the per-sample error-growth regression on
+    r_t (variable-frame mode): the step must stay finite and the r_t logs
+    must still be band-consistent.  Semantics (target = frames until the
+    emitted block's error exceeds growth x its first-frame error) are
+    unit-tested in test_rollout/test_metrics; this is the wiring test."""
+    md = dm.train_dataset.metadata
+    model = TANTE(
+        in_T=4,
+        dset_metadata=md,
+        taylor_order=1,
+        attn_axes="TH",
+        embed_dim=32,
+        patch_scale=8,
+        deg=False,
+        n_head=4,
+        dropout=0.1,
+    )
+    trainer = make_trainer(
+        dm, model, tmp_path, cls=R_Trainer,
+        train_out_T=2.0, rt_band_hi=2.0, rt_supervision=0.05,
+    )
+    loader = dm.train_dataloader()
+    loss, logs = trainer.train_one_epoch(1, loader)
+    assert np.isfinite(loss)
+    assert 1.0 <= logs["rt"] <= 2.01
+
+
 def test_r_trainer_warns_on_unreachable_band(dm_tiny, tmp_path):
     """rt_eps > 0.5 under the reference's out_T=1.5 cap makes the band
     penalty a constant uphill gradient (measured to diverge at flagship
