@@ -10,6 +10,7 @@ import argparse
 import logging
 
 from tante_tpu.config import instantiate, load_config, set_ckpt
+from tante_tpu.utils.compile_cache import enable_persistent_compile_cache
 from tante_tpu.utils.logging import MetricLogger
 from tante_tpu.utils.seeding import set_seed
 
@@ -18,6 +19,7 @@ logger = logging.getLogger("tante_tpu.eval")
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-name", default="tante")
     parser.add_argument("--config-dir", default=None)

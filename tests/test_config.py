@@ -82,3 +82,23 @@ def test_stale_checkpoint_clear_error(tmp_path):
     params_c = {"dense": {"kernel": np.zeros((8, 4), np.float32)}}
     with pytest.raises(ValueError, match="shape mismatches"):
         ckpt.restore_params(path, params_c)
+
+
+def test_persistent_compile_cache_configures(tmp_path, monkeypatch):
+    """CLI compile cache: points jax at the given dir and creates it."""
+    import os
+
+    import jax
+
+    from tante_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    target = str(tmp_path / "jx")
+    monkeypatch.setenv("TANTE_JAX_CACHE", target)
+    try:
+        got = enable_persistent_compile_cache()
+        assert got == target
+        assert os.path.isdir(target)
+    finally:
+        # Don't hijack the suite's own persistent cache (conftest.py).
+        jax.config.update("jax_compilation_cache_dir", prev)
