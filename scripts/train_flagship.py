@@ -46,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--speeds", default="0.05,0.9")
     ap.add_argument("--sup", type=float, default=0.05, help="rt_supervision weight")
+    ap.add_argument("--out-t", type=int, default=8,
+                    help="per-call Taylor budget k = train_out_T = rt_band_hi")
+    ap.add_argument("--growth", type=float, default=4.0,
+                    help="rt_sup_growth: per-block error-growth tolerance "
+                         "defining the supervision target (frames whose "
+                         "error stays <= growth x first-frame error)")
     ap.add_argument("--base-path", default="datasets")
     ap.add_argument("--n-trajectories", type=int, default=8)
     ap.add_argument("--experiment", default=None)
@@ -85,10 +91,11 @@ def main(argv=None):
         f"trainer.max_epoch={args.epochs}",
         "trainer.n_steps_output=16",
         "trainer.n_steps_rollout=16",
-        "trainer.train_out_T=8",
-        "trainer.rt_band_hi=8",
+        f"trainer.train_out_T={args.out_t}",
+        f"trainer.rt_band_hi={args.out_t}",
         "trainer.rt_eps=3",
         f"trainer.rt_supervision={args.sup}",
+        f"trainer.rt_sup_growth={args.growth}",
     ]
     if args.small:
         overrides += [
@@ -114,6 +121,7 @@ def main(argv=None):
                 "--exp", exp_dir,
                 "--choose", "best",
                 "--per-trajectory",
+                "--k", str(args.out_t),
                 "--speeds", args.speeds,
                 "--json-out", os.path.join(exp_dir, "adaptive_accuracy.json"),
             ]
