@@ -294,7 +294,26 @@ def build_adaptive():
         )
         return y, n_calls
 
-    return model, rollout, params, x, weights_mode
+    @jax.jit
+    def rollout_forced(params, x):
+        # Deterministic Taylor-block schedule: the SAME trained body
+        # emitting the full OUT_T_CAP-frame block every call
+        # (ceil(16/8) = 2 calls) — the reference's deg mode at
+        # output_length = 8 (``models/tante.py:165-169`` runs the Taylor
+        # sum to any configured output_length).  Accuracy of this
+        # schedule is measured in _adaptive_accuracy (eval_vrmse_taylor8).
+        y, rt_log, n_calls = rollout_adaptive_eval_tante(
+            model,
+            params,
+            x,
+            N_STEPS,
+            max_frames_per_call=OUT_T_CAP,
+            out_dtype=jnp.bfloat16,
+            force_budget=True,
+        )
+        return y, n_calls
+
+    return model, rollout, rollout_forced, params, x, weights_mode
 
 
 def measure_out_of_loop(model, probe) -> float:
@@ -371,31 +390,37 @@ def _adaptive_accuracy(model, params):
             model, params, x, N_STEPS, max_frames_per_call=1
         )
 
+    @jax.jit
+    def run_taylor8(params, x):
+        return rollout_adaptive_eval_tante(
+            model, params, x, N_STEPS, max_frames_per_call=OUT_T_CAP,
+            force_budget=True,
+        )
+
     y_a, _, calls_a = run_adaptive(params, x)
     y_f, _, calls_f = run_fixed(params, x)
+    y_t, _, calls_t = run_taylor8(params, x)
     va, la = metrics(y_a)
     vf_, lf = metrics(y_f)
+    vt, lt = metrics(y_t)
     return {
         "eval_vrmse_adaptive": round(va, 4),
         "eval_vrmse_fixed16": round(vf_, 4),
+        "eval_vrmse_taylor8": round(vt, 4),
         "eval_l2re_adaptive": round(la, 4),
         "eval_l2re_fixed16": round(lf, 4),
+        "eval_l2re_taylor8": round(lt, 4),
         "eval_calls_adaptive": int(calls_a),
         "eval_calls_fixed": int(calls_f),
+        "eval_calls_taylor8": int(calls_t),
     }
 
 
-def bench_adaptive(probe):
-    """Second (non-headline) lane: time-adaptive eval rollout throughput."""
-    model, rollout, params, x, weights_mode = build_adaptive()
-
-    def run_synced(xi):
-        y, n_calls = rollout(params, xi)
-        float(probe(y))
-        return int(n_calls)
-
+def _time_lane(rollout, params, x, probe):
+    """(best-of-3 fps, measured calls/rollout) for one rollout lane."""
     for _ in range(WARMUP_ITERS):
-        run_synced(x)
+        y, _ = rollout(params, x)
+        float(probe(y))
     inputs = [x + 0.001 * i for i in range(MEASURE_ITERS)]
     for xi in inputs:
         xi.block_until_ready()
@@ -408,8 +433,17 @@ def bench_adaptive(probe):
     # Call count from the MEASURED passes (not warmup): max over the timed
     # inputs, so the reported efficiency is what was actually benchmarked.
     calls = max(int(y[1]) for y in ys)
-    frames = MEASURE_ITERS * BATCH * N_STEPS
-    fps = frames / dt
+    return MEASURE_ITERS * BATCH * N_STEPS / dt, calls
+
+
+def bench_adaptive(probe):
+    """Adaptive lanes: the trained confidence head's operating point, and
+    the deterministic 8-frame Taylor-block schedule of the same body
+    (both with accuracy attached by _adaptive_accuracy)."""
+    model, rollout, rollout_forced, params, x, weights_mode = build_adaptive()
+
+    fps, calls = _time_lane(rollout, params, x, probe)
+    fps_t, calls_t = _time_lane(rollout_forced, params, x, probe)
     try:
         oob_ms = round(measure_out_of_loop(model, probe), 3)
     except Exception:
@@ -430,6 +464,23 @@ def bench_adaptive(probe):
                 "out_of_loop_ms_per_rollout": oob_ms,
                 **acc,
                 "vs_baseline": round(fps / A100_EST_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "tante_taylor8_rollout_frames_per_sec_per_chip",
+                "value": round(fps_t, 2),
+                "unit": "frames/s/chip (deterministic 8-frame Taylor blocks,"
+                        " B8 x 16-step, 128x384x4, bf16)",
+                "model_calls_per_rollout": calls_t,
+                "weights": weights_mode,
+                "eval_vrmse_taylor8": acc.get("eval_vrmse_taylor8"),
+                "eval_vrmse_fixed16": acc.get("eval_vrmse_fixed16"),
+                "eval_l2re_taylor8": acc.get("eval_l2re_taylor8"),
+                "eval_l2re_fixed16": acc.get("eval_l2re_fixed16"),
+                "vs_baseline": round(fps_t / A100_EST_FRAMES_PER_SEC, 3),
             }
         )
     )

@@ -200,8 +200,19 @@ def main(argv=None):
             model, params, x, N_STEPS, max_frames_per_call=1
         )
 
+    @jax.jit
+    def run_taylor_k(params, x):
+        # Deterministic k-frame Taylor-block schedule of the same body
+        # (the reference's deg mode at output_length = k): ceil(16/k)
+        # calls regardless of r_t.
+        return rollout_adaptive_eval_tante(
+            model, params, x, N_STEPS, max_frames_per_call=args.k,
+            force_budget=True,
+        )
+
     y_a, rt_a, calls_a = run_adaptive(params, x)
     y_f, _, calls_f = run_fixed(params, x)
+    y_t, _, calls_t = run_taylor_k(params, x)
     rt_np = np.asarray(rt_a)
 
     report = {
@@ -220,6 +231,10 @@ def main(argv=None):
         "fixed_16call_same_body": {
             **metric_report(y_f, y),
             "model_calls_per_rollout": int(calls_f),
+        },
+        f"taylor{args.k}_forced_same_body": {
+            **metric_report(y_t, y),
+            "model_calls_per_rollout": int(calls_t),
         },
     }
 

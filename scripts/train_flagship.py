@@ -52,6 +52,13 @@ def main(argv=None):
                     help="rt_sup_growth: per-block error-growth tolerance "
                          "defining the supervision target (frames whose "
                          "error stays <= growth x first-frame error)")
+    ap.add_argument("--sup-mode", default="growth", choices=["growth", "abs"],
+                    help="supervision target: 'growth' (relative; content-"
+                         "insensitive — Taylor error ~C t^2 cancels C in the"
+                         " ratio) or 'abs' (frames with per-frame MSE <= tau;"
+                         " content-sensitive)")
+    ap.add_argument("--tau", type=float, default=0.5,
+                    help="rt_sup_tau for --sup-mode abs (z-scored units)")
     ap.add_argument("--base-path", default="datasets")
     ap.add_argument("--n-trajectories", type=int, default=8)
     ap.add_argument("--experiment", default=None)
@@ -96,6 +103,8 @@ def main(argv=None):
         "trainer.rt_eps=3",
         f"trainer.rt_supervision={args.sup}",
         f"trainer.rt_sup_growth={args.growth}",
+        f"trainer.rt_sup_mode={args.sup_mode}",
+        f"trainer.rt_sup_tau={args.tau}",
     ]
     if args.small:
         overrides += [

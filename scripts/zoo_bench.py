@@ -55,10 +55,11 @@ MODELS = ["tante", "fno", "tfno", "afno", "uno", "dpot", "avit", "cvit",
           "unet_convnext", "unet_att"]
 
 
-def build_rollout(name: str, bf16: bool = True):
+def build_rollout(name: str, bf16: bool = True, overrides=None):
     """(rollout, params, x, chunk) for one zoo family at the bench
-    protocol — shared by the timing loop below and scripts/zoo_trace.py."""
-    cfg = load_config(name)
+    protocol — shared by the timing loop below and scripts/zoo_trace.py.
+    ``overrides``: dotted config overrides (e.g. ``model.layout=cw``)."""
+    cfg = load_config(name, overrides=list(overrides or []))
     model = instantiate(cfg.model, dset_metadata=MD)
     # bf16 compute — the protocol the per-family A100 bound is granted
     # (A100 bf16 peak; the reference trains under bf16 AMP,
@@ -120,8 +121,8 @@ def build_rollout(name: str, bf16: bool = True):
     return rollout, params, x, chunk, probe
 
 
-def bench_model(name: str, bf16: bool = True):
-    rollout, params, x, chunk, probe = build_rollout(name, bf16)
+def bench_model(name: str, bf16: bool = True, overrides=None):
+    rollout, params, x, chunk, probe = build_rollout(name, bf16, overrides)
     y = rollout(params, x)
     float(probe(y))  # compile + warm
     inputs = [x + 0.001 * i for i in range(REPS)]
@@ -158,10 +159,12 @@ def _zoo_bounds() -> dict:
 
 
 def main():
-    names = sys.argv[1:] or MODELS
+    args = sys.argv[1:]
+    overrides = [a for a in args if "=" in a]
+    names = [a for a in args if "=" not in a] or MODELS
     for name in names:
         try:
-            print(json.dumps(bench_model(name)), flush=True)
+            print(json.dumps(bench_model(name, overrides=overrides)), flush=True)
         except Exception as e:
             print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
 

@@ -19,15 +19,58 @@ from tante_tpu.ops.attention import MultiheadAttention
 from tante_tpu.ops.initializers import torch_bias_init, torch_kernel_init
 
 
-class TorchDense(nn.Module):
-    """nn.Dense with torch ``nn.Linear`` default initialization."""
+class _SublaneDense(nn.Module):
+    """Dense over axis -2 of a channel-sublane ``(..., C, W)`` tensor.
+
+    Same parameter tree/init/dtype semantics as ``nn.Dense`` (kernel
+    ``(Cin, Cout)``, bias ``(Cout,)``) so a ``TorchDense(cw=True)`` is
+    parameter-compatible with the channels-last form; the contraction
+    runs as an MXU dot over the sublane axis with the 128-lane W axis
+    untouched (the whole point of the cw layout — see models/fno.py)."""
 
     features: int
+    in_features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", torch_kernel_init, (self.in_features, self.features)
+        )
+        y = jnp.einsum(
+            "...cw,cd->...dw", x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init(self.in_features), (self.features,)
+            )
+            y = y + bias.astype(self.dtype)[..., :, None]
+        return y
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch ``nn.Linear`` default initialization.
+
+    ``cw=True`` applies the same parameters over axis -2 of a
+    channel-sublane ``(..., C, W)`` tensor (param-tree identical: the
+    child is named ``Dense_0`` like the auto-named ``nn.Dense``)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    cw: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.cw:
+            return _SublaneDense(
+                self.features,
+                in_features=x.shape[-2],
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="Dense_0",
+            )(x)
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,

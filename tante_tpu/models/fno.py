@@ -25,19 +25,32 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
 from tante_tpu.ops.initializers import complex_spectral_init
-from tante_tpu.ops.spectral import spectral_conv2d_centered, spectral_conv3d_centered
+from tante_tpu.ops.spectral import (
+    spectral_conv2d_centered,
+    spectral_conv2d_centered_cw,
+    spectral_conv3d_centered,
+)
 from tante_tpu.ops.activations import gelu
 
 
 class SoftGate(nn.Module):
-    """Per-channel learned scale + bias (neuralop's 'soft-gating' skip)."""
+    """Per-channel learned scale + bias (neuralop's 'soft-gating' skip).
+
+    ``cw=True`` broadcasts over axis -2 (channel-sublane layout)."""
+
+    cw: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+        c = x.shape[-2] if self.cw else x.shape[-1]
         w = self.param("weight", nn.initializers.ones, (c,))
         b = self.param("bias", nn.initializers.zeros, (c,))
-        return x * w + b
+        # cast params to the field dtype: under bf16 compute a f32 gate
+        # would promote the full-field tensor (and the gelu after it) to
+        # f32 — two hidden full-field f32 passes per block.
+        if self.cw:
+            return x * w[:, None].astype(x.dtype) + b[:, None].astype(x.dtype)
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
 class FNOBlock(nn.Module):
@@ -52,9 +65,27 @@ class FNOBlock(nn.Module):
     last: bool = False
     sp_mesh: Any = None  # spatial sharding: Mesh with an 'sp' axis
     dtype: jnp.dtype = jnp.float32
+    cw: bool = False  # channel-sublane (B, H, C, W) layout (2-D only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.cw:  # (B, H, C, W) channel-sublane path
+            m2r = self.modes2 // 2 + 1
+            weight = self.param(
+                "spectral_weight",
+                complex_spectral_init(self.hidden, self.hidden),
+                (self.hidden, self.hidden, self.modes1, m2r, 2),
+            )
+            y = spectral_conv2d_centered_cw(x, weight, self.modes1, self.modes2)
+            y = y + TorchDense(self.hidden, dtype=self.dtype, cw=True)(x)
+            y = gelu(y)
+            z = TorchDense(self.hidden // 2, dtype=self.dtype, cw=True)(y)
+            z = gelu(z)
+            z = TorchDense(self.hidden, dtype=self.dtype, cw=True)(z)
+            y = z + SoftGate(cw=True)(y)
+            if not self.last:
+                y = gelu(y)
+            return y
         if x.ndim == 5:  # (B, D, H, W, C): 3-D spatial path
             m3r = self.modes3 // 2 + 1
             weight = self.param(
@@ -117,6 +148,13 @@ class FNO(nn.Module):
     # shard for free under jit.  2-D path only.
     sp_mesh: Any = None
     dtype: jnp.dtype = jnp.float32
+    # 'wc' = channels-last (canonical); 'cw' = channel-sublane (B, H, C, W)
+    # internal layout.  Parameter trees are IDENTICAL (same init, same
+    # math up to einsum associativity); cw removes the 48->128 lane
+    # padding every channels-last field tensor pays at zoo geometry
+    # (docs/PERF.md round 5).  2-D unsharded path only — 3-D and sp_mesh
+    # inputs fall back to wc.
+    layout: str = "wc"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -125,9 +163,12 @@ class FNO(nn.Module):
         b, t, c = x.shape[0], x.shape[1], x.shape[-1]
         spatial = x.shape[2:-1]
         z = jnp.moveaxis(x, 1, -2).reshape(b, *spatial, t * c)  # fold T into channels
-        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
+        cw = self.layout == "cw" and len(spatial) == 2 and self.sp_mesh is None
+        if cw:
+            z = jnp.swapaxes(z, -1, -2)  # (B, H, TC, W): one small transpose
+        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype, cw=cw)(z)
         z = gelu(z)
-        z = TorchDense(self.hidden_channels, dtype=self.dtype)(z)
+        z = TorchDense(self.hidden_channels, dtype=self.dtype, cw=cw)(z)
         block_cls = FNOBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(FNOBlock)
@@ -138,10 +179,13 @@ class FNO(nn.Module):
                 modes2=self.modes2,
                 modes3=self.modes3,
                 last=(i == self.n_layers - 1),
-                sp_mesh=self.sp_mesh if z.ndim == 4 else None,
+                sp_mesh=self.sp_mesh if (z.ndim == 4 and not cw) else None,
                 dtype=self.dtype,
+                cw=cw,
             )(z)
-        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
+        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype, cw=cw)(z)
         z = gelu(z)
-        z = TorchDense(c, dtype=self.dtype)(z)
+        z = TorchDense(c, dtype=self.dtype, cw=cw)(z)
+        if cw:
+            z = jnp.swapaxes(z, -1, -2)  # back to (B, H, W, C)
         return z[:, None]  # (B, 1, H, W, C)

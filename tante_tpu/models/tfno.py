@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from tante_tpu.data.dataset import TanteMetadata
 from tante_tpu.models.common import TorchDense
 from tante_tpu.models.fno import SoftGate
-from tante_tpu.ops.spectral import spectral_conv2d_centered
+from tante_tpu.ops.spectral import (
+    spectral_conv2d_centered,
+    spectral_conv2d_centered_cw,
+)
 from tante_tpu.ops.activations import gelu
 
 
@@ -79,6 +82,7 @@ class TFNOBlock(nn.Module):
     rank: float = 0.5
     last: bool = False
     dtype: jnp.dtype = jnp.float32
+    cw: bool = False  # channel-sublane (B, H, C, W) layout (see models/fno.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,13 +92,17 @@ class TFNOBlock(nn.Module):
         )()
         # dtype-gated inside (ops/spectral.py): bf16 field-space, f32
         # accumulation; f32 input keeps the exact parity path.
-        y = spectral_conv2d_centered(x, weight, self.modes1, self.modes2).astype(x.dtype)
-        y = y + TorchDense(self.hidden, dtype=self.dtype)(x)
+        if self.cw:
+            y = spectral_conv2d_centered_cw(x, weight, self.modes1, self.modes2)
+        else:
+            y = spectral_conv2d_centered(x, weight, self.modes1, self.modes2)
+        y = y.astype(x.dtype)
+        y = y + TorchDense(self.hidden, dtype=self.dtype, cw=self.cw)(x)
         y = gelu(y)
-        z = TorchDense(self.hidden // 2, dtype=self.dtype)(y)
+        z = TorchDense(self.hidden // 2, dtype=self.dtype, cw=self.cw)(y)
         z = gelu(z)
-        z = TorchDense(self.hidden, dtype=self.dtype)(z)
-        y = z + SoftGate()(y)
+        z = TorchDense(self.hidden, dtype=self.dtype, cw=self.cw)(z)
+        y = z + SoftGate(cw=self.cw)(y)
         if not self.last:
             y = gelu(y)
         return y
@@ -112,15 +120,19 @@ class TFNO(nn.Module):
     gradient_checkpointing: bool = False
     output_length: int = 1
     dtype: jnp.dtype = jnp.float32
+    layout: str = "wc"  # 'cw' = channel-sublane internals (see models/fno.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """(B, T, H, W, C) -> (B, 1, H, W, C)."""
         b, t, h, w, c = x.shape
         z = jnp.moveaxis(x, 1, -2).reshape(b, h, w, t * c)
-        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
+        cw = self.layout == "cw"
+        if cw:
+            z = jnp.swapaxes(z, -1, -2)  # (B, H, TC, W)
+        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype, cw=cw)(z)
         z = gelu(z)
-        z = TorchDense(self.hidden_channels, dtype=self.dtype)(z)
+        z = TorchDense(self.hidden_channels, dtype=self.dtype, cw=cw)(z)
         block_cls = nn.remat(TFNOBlock) if self.gradient_checkpointing else TFNOBlock
         for i in range(self.n_layers):
             z = block_cls(
@@ -130,8 +142,11 @@ class TFNO(nn.Module):
                 rank=self.rank,
                 last=(i == self.n_layers - 1),
                 dtype=self.dtype,
+                cw=cw,
             )(z)
-        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype)(z)
+        z = TorchDense(self.hidden_channels * 2, dtype=self.dtype, cw=cw)(z)
         z = gelu(z)
-        z = TorchDense(c, dtype=self.dtype)(z)
+        z = TorchDense(c, dtype=self.dtype, cw=cw)(z)
+        if cw:
+            z = jnp.swapaxes(z, -1, -2)
         return z[:, None]

@@ -289,6 +289,71 @@ def spectral_conv2d_centered(
     return jnp.fft.irfft2(y_ft, s=(h, w), axes=(-3, -2), norm="ortho")
 
 
+def spectral_conv2d_centered_cw(
+    x: jnp.ndarray, weight: jnp.ndarray, modes1: int, modes2: int
+) -> jnp.ndarray:
+    """``spectral_conv2d_centered`` for channel-sublane layout.
+
+    x: (B, H, Cin, W); weight: (Cin, Cout, m1, m2r, 2) — the SAME tensor
+    as the channels-last path.  Returns (B, H, Cout, W).
+
+    Why a separate layout: at FNO zoo geometry (C=48, W=384) the
+    channels-last field tensor pads its 48-channel lane axis to 128 —
+    2.67x HBM traffic on EVERY pass; in (B, H, C, W) the tile is
+    (C=48 sublanes, W=384 lanes), both exact multiples, zero padding.
+    Every einsum below contracts a lane or sublane axis (MXU native).
+    Same dtype gate as ``_partial_rdft2``: bf16 field-space operands,
+    f32 mode-space."""
+    h, w = x.shape[1], x.shape[-1]
+    wf_s = w // 2 + 1
+    m1 = min(modes1, h)
+    m2r = min(modes2 // 2 + 1, wf_s)
+    m1_pos = (m1 + 1) // 2
+    m1_neg = m1 - m1_pos
+    if not (m1 > 0 and m2r > 0 and m1_pos + m1_neg <= h):
+        raise ValueError(f"cw layout requires kept modes within range: {m1}, {m2r}")
+    mats = _partial_rdft_mats(h, w, m1_pos, m1_neg, m2r)
+    fw_cos, fw_sin, fh_cos, fh_sin, iw_cos, iw_sin, ih_cos, ih_sin = mats
+    if x.dtype == jnp.bfloat16:
+        t_re = jnp.einsum("bhcw,wl->bhcl", x, fw_cos.astype(x.dtype)).astype(
+            jnp.float32
+        )
+        t_im = -jnp.einsum("bhcw,wl->bhcl", x, fw_sin.astype(x.dtype)).astype(
+            jnp.float32
+        )
+    else:
+        xf = x.astype(jnp.float32)
+        t_re = jnp.einsum("bhcw,wl->bhcl", xf, fw_cos)
+        t_im = -jnp.einsum("bhcw,wl->bhcl", xf, fw_sin)
+    xr = jnp.einsum("bhcl,hk->bkcl", t_re, fh_cos) + jnp.einsum(
+        "bhcl,hk->bkcl", t_im, fh_sin
+    )
+    xi = jnp.einsum("bhcl,hk->bkcl", t_im, fh_cos) - jnp.einsum(
+        "bhcl,hk->bkcl", t_re, fh_sin
+    )
+    w_k = weight[:, :, :, :m2r]
+    w_re, w_im = w_k[..., 0], w_k[..., 1]
+    o_re = jnp.einsum("bkcl,cokl->bkol", xr, w_re) - jnp.einsum(
+        "bkcl,cokl->bkol", xi, w_im
+    )
+    o_im = jnp.einsum("bkcl,cokl->bkol", xr, w_im) + jnp.einsum(
+        "bkcl,cokl->bkol", xi, w_re
+    )
+    z_re = jnp.einsum("bkol,kh->bhol", o_re, ih_cos) - jnp.einsum(
+        "bkol,kh->bhol", o_im, ih_sin
+    )
+    z_im = jnp.einsum("bkol,kh->bhol", o_re, ih_sin) + jnp.einsum(
+        "bkol,kh->bhol", o_im, ih_cos
+    )
+    if x.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            "bhol,lw->bhow", z_re.astype(x.dtype), iw_cos.astype(x.dtype)
+        ) - jnp.einsum("bhol,lw->bhow", z_im.astype(x.dtype), iw_sin.astype(x.dtype))
+    return jnp.einsum("bhol,lw->bhow", z_re, iw_cos) - jnp.einsum(
+        "bhol,lw->bhow", z_im, iw_sin
+    )
+
+
 def spectral_conv3d_centered(
     x: jnp.ndarray, weight: jnp.ndarray, modes1: int, modes2: int, modes3: int
 ) -> jnp.ndarray:

@@ -74,6 +74,20 @@ class R_Trainer(Trainer):
         # predictions).
         self.rt_supervision = float(kwargs.pop("rt_supervision", 0.0))
         self.rt_sup_growth = float(kwargs.pop("rt_sup_growth", 4.0))
+        # Target mode.  'growth' (relative, above) turned out to be
+        # structurally content-INSENSITIVE: order-n Taylor error grows
+        # ~C t^(n+1), so the ratio blk_err/blk_err[0] cancels the
+        # content-dependent C — measured round 5: the r_t/difficulty
+        # correlation FLIPPED to +0.91 at growth=8 (docs/EVIDENCE.md).
+        # 'abs' supervises on frames whose absolute per-frame error stays
+        # below ``rt_sup_tau`` (z-scored fields, so tau is in units of the
+        # data std): C passes straight through — easy content saturates
+        # the budget, hard content drops — content-sensitive by
+        # construction.
+        self.rt_sup_mode = str(kwargs.pop("rt_sup_mode", "growth"))
+        self.rt_sup_tau = float(kwargs.pop("rt_sup_tau", 0.5))
+        if self.rt_sup_mode not in ("growth", "abs"):
+            raise ValueError(f"rt_sup_mode must be growth|abs: {self.rt_sup_mode}")
         # Remat each variable-frame model call (default ON for vf: the
         # scan otherwise saves every call's forward activations — ~58 GB
         # at flagship geometry vs 16 GB of HBM; see rollout_adaptive_train_vf).
@@ -109,6 +123,8 @@ class R_Trainer(Trainer):
         k = int(out_t) if vf else 1
         remat = self.gradient_checkpointing
         sup_w, sup_growth = self.rt_supervision, self.rt_sup_growth
+        sup_abs = self.rt_sup_mode == "abs"
+        sup_tau = self.rt_sup_tau
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(variables, opt_state, x, y, dropout_key):
@@ -173,7 +189,10 @@ class R_Trainer(Trainer):
                         in_axes=(None, 0),
                     )
                     blk_err = gather(err_pad, cums)  # (n_steps, B, k)
-                    ok = blk_err <= sup_growth * blk_err[..., :1] + 1e-8
+                    if sup_abs:
+                        ok = blk_err <= sup_tau
+                    else:
+                        ok = blk_err <= sup_growth * blk_err[..., :1] + 1e-8
                     good = jnp.cumprod(ok.astype(rts.dtype), axis=-1)
                     target = jnp.clip(jnp.sum(good, axis=-1), 1.0, float(k))
                     sup = (rts - jax.lax.stop_gradient(target)) ** 2

@@ -307,8 +307,14 @@ def rollout_adaptive_eval(
     window: jnp.ndarray,
     n_steps: int,
     max_frames_per_call: int = 0,
+    force_budget: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive eval rollout: the model emits floor(r_t) frames per call.
+
+    ``force_budget=True`` emits the FULL K-frame block every call
+    regardless of r_t — the deterministic K-frames-per-call schedule of
+    the same trained body (the bench's forced-budget operating point:
+    ceil(n_steps/K) calls, r_t still logged for reporting).
 
     apply_fn: window -> (frames (B, K, ...), rt (B,)) where
     K = max_frames_per_call or n_steps.  A K < n_steps caps the per-call
@@ -343,7 +349,10 @@ def rollout_adaptive_eval(
     def body(carry):
         win, out, cum, rt_log, n_calls = carry
         frames, rt = apply_fn(win)
-        emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
+        if force_budget:
+            emit = jnp.int32(k)
+        else:
+            emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
         out = jax.lax.dynamic_update_slice_in_dim(
             out, frames.astype(out.dtype), cum, axis=1
         )
@@ -366,6 +375,7 @@ def rollout_adaptive_eval_tante(
     n_steps: int,
     max_frames_per_call: int = 0,
     out_dtype=None,
+    force_budget: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``rollout_adaptive_eval`` specialized to TANTE: the whole while-loop
     runs on morton-packed frames (see ``rollout_tante_latent``), so the
@@ -386,6 +396,7 @@ def rollout_adaptive_eval_tante(
             window,
             n_steps,
             max_frames_per_call=k,
+            force_budget=force_budget,
         )
         if out_dtype is not None:
             y = y.astype(out_dtype)
@@ -422,7 +433,10 @@ def rollout_adaptive_eval_tante(
         frames, rt = model.apply(
             params, lat, u, float(k), method="head", packed="morton"
         )
-        emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
+        if force_budget:
+            emit = jnp.int32(k)
+        else:
+            emit = jnp.clip(jnp.floor(rt[0]).astype(jnp.int32), 1, k)
         # Padded-buffer dus scatter (see rollout_adaptive_eval for the
         # garbage-tail overwrite argument).
         out = jax.lax.dynamic_update_slice_in_dim(

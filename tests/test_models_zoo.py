@@ -51,6 +51,28 @@ def test_fno_shapes():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_fno_cw_layout_parity():
+    """Channel-sublane (B,H,C,W) internal layout is the same function:
+    identical param tree, identical output to einsum-associativity
+    rounding (docs/PERF.md round 5 — removes the 48->128 lane padding)."""
+    from tante_tpu.models import FNO
+
+    kw = dict(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    wc = FNO(**kw)
+    cw = FNO(**kw, layout="cw")
+    params = wc.init(jax.random.PRNGKey(1), x)
+    p_cw = cw.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(params) == jax.tree.structure(p_cw)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p_cw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y_wc = wc.apply(params, x)
+    y_cw = cw.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_wc), np.asarray(y_cw), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_fno_param_count_matches_table():
     """FNO @ hidden 48, modes 20 should be ~4M params (BASELINE.md row 1)."""
     from tante_tpu.models import FNO
@@ -69,6 +91,21 @@ def test_tfno_shapes_and_fewer_params():
     fno = FNO(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
     p_f = _param_shapes(fno)
     assert n_params(p_t) < n_params(p_f), "Tucker factorization should shrink params"
+
+
+def test_tfno_cw_layout_parity():
+    from tante_tpu.models import TFNO
+
+    kw = dict(in_T=T, dset_metadata=MD, modes1=8, modes2=8, hidden_channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    wc = TFNO(**kw)
+    cw = TFNO(**kw, layout="cw")
+    params = wc.init(jax.random.PRNGKey(1), x)
+    y_wc = wc.apply(params, x)
+    y_cw = cw.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_wc), np.asarray(y_cw), atol=2e-4, rtol=2e-4
+    )
 
 
 def test_afno_shapes():

@@ -113,6 +113,24 @@ def test_rollout_adaptive_eval_rt_one_equals_fixed():
     np.testing.assert_allclose(np.asarray(y), np.asarray(fixed), rtol=1e-5)
 
 
+def test_rollout_adaptive_eval_force_budget():
+    """force_budget emits the full K-frame block regardless of r_t:
+    n_steps/K calls, output == an adaptive head that always says K."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, T, H, W, C))
+    n_steps, k = 8, 4
+    fn = adaptive_fake_model(k, 1.9)  # head says 1 frame; budget forces 4
+    y, _, n_calls = rollout_adaptive_eval(
+        fn, x, n_steps, max_frames_per_call=k, force_budget=True
+    )
+    assert int(n_calls) == n_steps // k
+    always_k = adaptive_fake_model(k, float(k) + 0.0006)
+    want, _, want_calls = rollout_adaptive_eval(
+        always_k, x, n_steps, max_frames_per_call=k
+    )
+    assert int(want_calls) == n_steps // k
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5)
+
+
 def test_rollout_adaptive_train_vf_matches_eval_engine():
     """The differentiable variable-frame TRAIN engine must produce the
     same trajectory (frames consumed, window slides) as the while-loop
