@@ -20,7 +20,7 @@ CONFIGS = sorted(
 MD = TanteMetadata(
     dataset_name="synthetic",
     n_spatial_dims=2,
-    spatial_resolution=(64, 128),
+    spatial_resolution=(32, 64),
     field_names={0: ["a"], 1: ["v_x", "v_y"], 2: []},
     boundary_condition_types=["PERIODIC"],
     n_files=1,
@@ -67,7 +67,7 @@ SHRINK = {
 def test_config_model_instantiates_and_runs(name):
     cfg = load_config(name, overrides=SHRINK.get(name, []))
     model = instantiate(cfg.model, dset_metadata=MD)
-    x = jnp.ones((1, cfg.data.n_steps_input, 64, 128, 3))
+    x = jnp.ones((1, cfg.data.n_steps_input, 32, 64, 3))
 
     # init_with_output: one forward pass checks both construction and run
     # (a separate apply() doubled the CPU eager cost of this file).
@@ -79,11 +79,11 @@ def test_config_model_instantiates_and_runs(name):
         assert y.shape[0] == 1 and y.shape[2] == 8 and y.shape[3] == 3
     elif is_adaptive:
         (y, rt), _ = model.init_with_output(jax.random.PRNGKey(0), x, 1.5)
-        assert y.shape == (1, 1, 64, 128, 3)
+        assert y.shape == (1, 1, 32, 64, 3)
         assert rt.shape == (1,)
     else:
         y, _ = model.init_with_output(jax.random.PRNGKey(0), x)
-        assert y.shape[0] == 1 and y.shape[2:] == (64, 128, 3)
+        assert y.shape[0] == 1 and y.shape[2:] == (32, 64, 3)
 
     # Losses/optimizer/scheduler instantiate through the registry too.
     assert callable(instantiate(cfg.trainer.train_loss_fn))

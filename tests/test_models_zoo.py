@@ -184,8 +184,10 @@ def test_uno_shapes():
         n_fields=2,
     )
     model = UNO(in_T=3, dset_metadata=md, width=8, factor=1)
-    _, y = _run(model, x_shape=(2, 3, 64, 128, 2))
-    assert y.shape == (2, 1, 64, 128, 2)
+    # 32x64 exercises the same 7-block topology (the degenerate-level guard
+    # has its own test); 64x128 doubled this file's CPU cost for no coverage.
+    _, y = _run(model, x_shape=(2, 3, 32, 64, 2))
+    assert y.shape == (2, 1, 32, 64, 2)
     assert np.isfinite(np.asarray(y)).all()
 
 
@@ -215,15 +217,15 @@ def test_attention_unet_shapes_and_batch_stats():
     from tante_tpu.models import AttentionUNet
 
     model = AttentionUNet(in_T=T, dset_metadata=MD, depth=4, out_T=2)
-    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 16, 32, 3))
     y, variables = model.init_with_output(jax.random.PRNGKey(1), x)
     assert "batch_stats" in variables
-    assert y.shape == (B, 2, 32, 64, 3)
+    assert y.shape == (B, 2, 16, 32, 3)
     # train mode mutates batch_stats
     y2, updates = model.apply(
         variables, x, deterministic=False, mutable=["batch_stats"]
     )
-    assert y2.shape == (B, 2, 32, 64, 3)
+    assert y2.shape == (B, 2, 16, 32, 3)
     old = jax.tree.leaves(variables["batch_stats"])
     new = jax.tree.leaves(updates["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
@@ -275,9 +277,15 @@ def test_avit_t5_bucketing_matches_expectations():
 def test_cvit_point_and_grid_outputs():
     from tante_tpu.models import CViT
 
+    # 16x32 metadata: CViT's grid/pos embeds are sized from the metadata
+    # resolution, so the smaller grid needs its own (CPU budget — the
+    # full-grid decode is the same chunked-scan path at 1/4 the points).
+    import dataclasses
+
+    md16 = dataclasses.replace(MD, spatial_resolution=(16, 32))
     model = CViT(
         in_T=T,
-        dset_metadata=MD,
+        dset_metadata=md16,
         out_steps=2,
         patch_size=(1, 8, 8),
         grid_size=(8, 8),
@@ -291,12 +299,14 @@ def test_cvit_point_and_grid_outputs():
         num_mlp_layers=1,
         mlp_ratio=1,
     )
-    x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
+    # 16x32 grid: the full-grid decode is the chunked-scan path either way,
+    # at 1/4 the query points (CPU budget).
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 16, 32, 3))
     coords = jax.random.uniform(jax.random.PRNGKey(2), (17, 2))
     y_pts, params = model.init_with_output(jax.random.PRNGKey(1), x, coords)
     assert y_pts.shape == (B, 2, 17, 3)
     y_grid = model.apply(params, x)  # full grid
-    assert y_grid.shape == (B, 2, 32, 64, 3)
+    assert y_grid.shape == (B, 2, 16, 32, 3)
     assert np.isfinite(np.asarray(y_grid)).all()
 
 
@@ -415,13 +425,18 @@ def test_avit_gradient_checkpointing_same_params_and_grads():
     plain = AViT(**kw)
     remat = AViT(**kw, gradient_checkpointing=True)
     x = jax.random.normal(jax.random.PRNGKey(0), X_SHAPE)
-    v1 = plain.init(jax.random.PRNGKey(1), x)
+    # CPU budget: ONE real init (remat), plain's tree via eval_shape (trace
+    # only, no compile/exec); identical trees let plain.apply(v2) check
+    # structural compatibility AND forward parity in one pass, and the
+    # remat forward + grads come from a single value_and_grad whose loss
+    # ||remat(v2) - plain(v2)||^2 == 0 asserts parity without a third
+    # forward compile.
     v2 = remat.init(jax.random.PRNGKey(1), x)
-    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
-    y1 = plain.apply(v1, x)
-    y2 = remat.apply(v2, x)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
-    g = jax.grad(lambda p: jnp.sum(remat.apply(p, x) ** 2))(v2)
+    v1_shape = jax.eval_shape(plain.init, jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v1_shape) == jax.tree_util.tree_structure(v2)
+    y1 = plain.apply(v2, x)
+    loss, g = jax.value_and_grad(lambda p: jnp.sum((remat.apply(p, x) - y1) ** 2))(v2)
+    assert float(loss) < 1e-10
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
 
 
@@ -461,7 +476,6 @@ def test_unet_convnext_bf16_depth_scan_carry():
         init_features=6, dtype=jnp.bfloat16,
     )
     x = jax.random.normal(jax.random.PRNGKey(0), (1, T, 16, 32, 3), jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(1), x)
-    y = model.apply(params, x)
+    y, _ = model.init_with_output(jax.random.PRNGKey(1), x)  # one forward
     assert y.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(y, dtype=np.float32)).all()

@@ -453,9 +453,11 @@ def test_partial_dft_spectral_matches_fft():
         )
         assert rel < 2e-5, (fn.__name__, h, w, m1, m2, rel)
 
-    for h, w, m1, m2 in [(16, 48, 4, 6), (17, 33, 5, 7), (32, 64, 16, 33)]:
+    # (8, 16, 4, 9): m2r == wf Nyquist edge; (8, 16, 7, 16): m2 > wf clamp —
+    # same edge classes as the original 32x64 cases at 1/8 the compile size.
+    for h, w, m1, m2 in [(16, 48, 4, 6), (17, 33, 5, 7), (8, 16, 4, 9)]:
         check(sp.spectral_conv2d, h, w, m1, m2, (5, 7, m1, m2, 2))
-    for h, w, m1, m2 in [(16, 48, 5, 6), (17, 33, 7, 8), (32, 64, 15, 64)]:
+    for h, w, m1, m2 in [(16, 48, 5, 6), (17, 33, 7, 8), (8, 16, 7, 16)]:
         check(sp.spectral_conv2d_centered, h, w, m1, m2, (5, 7, m1, m2 // 2 + 1, 2))
 
 

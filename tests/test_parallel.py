@@ -258,47 +258,66 @@ def test_sharded_irfft2_roundtrip(hw):
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
 
 
-@requires_8
-def test_trainer_data_parallel_matches_single_device(well_root, tmp_path):
-    """Trainer with a dp mesh must produce (numerically) the same training
-    trajectory as single-device: same batches, psum-reduced grads."""
+def _build_fno_trainer(well_root, ckpt_dir, mesh):
+    """Shared single-device/dp/sp FNO trainer (tiny model, session dataset).
+
+    The single-device reference trajectory is computed ONCE per module
+    (fno_single_reference) — the dp and sp parity tests below compare
+    against it instead of each re-running (and re-compiling) the
+    unsharded epoch + validation loop."""
     from tante_tpu.data import TanteDataModule
     from tante_tpu.models import FNO
     from tante_tpu.train import MSE, L2RE, AdamW, Trainer
 
-    def build(mesh):
-        dm = TanteDataModule(
-            base_path=well_root,
-            dataset_name="synthetic_waves",
-            batch_size=8,
-            n_steps_input=4,
-            n_steps_output=2,
-            eval_steps_output=4,
-            data_workers=2,
-            seed=0,
-        )
-        md = dm.train_dataset.metadata
-        model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
-        return dm, Trainer(
-            checkpoint_folder=str(tmp_path / ("dp" if mesh else "single")),
-            formatter="channels_first_default",
-            model=model,
-            datamodule=dm,
-            optimizer=AdamW(lr=1e-3),
-            train_loss_fn=MSE(),
-            eval_loss_fn=L2RE(),
-            max_epoch=1,
-            n_steps_output=2,
-            n_steps_rollout=4,
-            seed=0,
-            mesh=mesh,
-        )
+    dm = TanteDataModule(
+        base_path=well_root,
+        dataset_name="synthetic_waves",
+        batch_size=8,
+        n_steps_input=4,
+        n_steps_output=2,
+        eval_steps_output=4,
+        data_workers=2,
+        seed=0,
+    )
+    md = dm.train_dataset.metadata
+    model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
+    return dm, Trainer(
+        checkpoint_folder=ckpt_dir,
+        formatter="channels_first_default",
+        model=model,
+        datamodule=dm,
+        optimizer=AdamW(lr=1e-3),
+        train_loss_fn=MSE(),
+        eval_loss_fn=L2RE(),
+        max_epoch=1,
+        n_steps_output=2,
+        n_steps_rollout=4,
+        seed=0,
+        mesh=mesh,
+    )
 
+
+@pytest.fixture(scope="module")
+def fno_single_reference(well_root, tmp_path_factory):
+    """(train loss, validation loss) of the unsharded tiny-FNO epoch."""
+    dm, t = _build_fno_trainer(
+        well_root, str(tmp_path_factory.mktemp("fno_single")), None
+    )
+    loss, _ = t.train_one_epoch(1, dm.train_dataloader())
+    val = t.validation_loop(dm.val_dataloader())
+    return loss, val
+
+
+@requires_8
+def test_trainer_data_parallel_matches_single_device(
+    well_root, tmp_path, fno_single_reference
+):
+    """Trainer with a dp mesh must produce (numerically) the same training
+    trajectory as single-device: same batches, psum-reduced grads."""
     mesh = make_mesh(8, ("dp",), (8,), devices=cpu_devices)
-    dm1, t1 = build(None)
-    dm8, t8 = build(mesh)
+    dm8, t8 = _build_fno_trainer(well_root, str(tmp_path / "dp"), mesh)
 
-    loss1, _ = t1.train_one_epoch(1, dm1.train_dataloader())
+    loss1, _ = fno_single_reference
     loss8, _ = t8.train_one_epoch(1, dm8.train_dataloader())
     np.testing.assert_allclose(loss1, loss8, rtol=1e-4)
 
@@ -734,53 +753,21 @@ def test_sharded_spectral_conv_matches_unsharded():
 
 
 @requires_8
-def test_fno_sp_train_step_matches_unsharded(well_root, tmp_path):
+def test_fno_sp_train_step_matches_unsharded(
+    well_root, tmp_path, fno_single_reference
+):
     """FNO end-to-end under a (dp=2, sp=4) mesh: the spectral convs run
     H-sharded (one mode-space psum each), every other op H-local under the
     SPMD partitioner; the training trajectory equals single-device."""
-    from tante_tpu.data import TanteDataModule
-    from tante_tpu.models import FNO
-    from tante_tpu.train import MSE, L2RE, AdamW, Trainer
-
-    def build(mesh):
-        dm = TanteDataModule(
-            base_path=well_root,
-            dataset_name="synthetic_waves",
-            batch_size=8,
-            n_steps_input=4,
-            n_steps_output=2,
-            eval_steps_output=4,
-            data_workers=2,
-            seed=0,
-        )
-        md = dm.train_dataset.metadata
-        model = FNO(in_T=4, dset_metadata=md, modes1=4, modes2=4, hidden_channels=8)
-        return dm, Trainer(
-            checkpoint_folder=str(tmp_path / ("sp" if mesh else "single")),
-            formatter="channels_first_default",
-            model=model,
-            datamodule=dm,
-            optimizer=AdamW(lr=1e-3),
-            train_loss_fn=MSE(),
-            eval_loss_fn=L2RE(),
-            max_epoch=1,
-            n_steps_output=2,
-            n_steps_rollout=4,
-            seed=0,
-            mesh=mesh,
-        )
-
     mesh = make_mesh(8, ("dp", "sp"), (2, 4), devices=cpu_devices)
-    dm1, t1 = build(None)
-    dm8, t8 = build(mesh)
+    dm8, t8 = _build_fno_trainer(well_root, str(tmp_path / "sp"), mesh)
     assert t8.model.sp_mesh is not None  # Trainer selected the sp path
 
-    loss1, _ = t1.train_one_epoch(1, dm1.train_dataloader())
+    loss1, v1 = fno_single_reference
     loss8, _ = t8.train_one_epoch(1, dm8.train_dataloader())
     np.testing.assert_allclose(loss1, loss8, rtol=2e-4)
 
     # eval path too (scan rollout of sharded applies)
-    v1 = t1.validation_loop(dm1.val_dataloader())
     v8 = t8.validation_loop(dm8.val_dataloader())
     np.testing.assert_allclose(v1, v8, rtol=2e-4)
 

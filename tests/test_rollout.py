@@ -317,9 +317,9 @@ def test_rollout_adaptive_eval_tante_matches_generic():
         dset_metadata=md,
         taylor_order=1,
         attn_axes="THW",
-        embed_dim=64,
-        patch_scale=8,
-        n_head=4,
+        embed_dim=32,  # engine-equivalence test: size is irrelevant, CPU
+        patch_scale=8,  # compile cost is not (two while-loop programs)
+        n_head=2,
         output_length=1,
         deg=False,
     )

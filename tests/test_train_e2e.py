@@ -83,7 +83,7 @@ def test_fno_trainer_end_to_end(dm, tmp_path):
 
     loader = dm.train_dataloader()
     loss0, _ = trainer.train_one_epoch(1, loader)
-    for _ in range(3):
+    for _ in range(2):
         loss1, _ = trainer.train_one_epoch(1, loader)
     assert loss1 < loss0, f"training loss did not decrease: {loss0} -> {loss1}"
 
