@@ -65,9 +65,12 @@ def collect(logdir: str, top_n: int = 25) -> list:
 
 
 def main():
-    name = sys.argv[1]
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    rollout, params, x, _, probe = zoo_bench.build_rollout(name)
+    args = sys.argv[1:]
+    overrides = [a for a in args if "=" in a]
+    pos = [a for a in args if "=" not in a]
+    name = pos[0]
+    top_n = int(pos[1]) if len(pos) > 1 else 25
+    rollout, params, x, _, probe = zoo_bench.build_rollout(name, overrides=overrides)
     y = rollout(params, x)
     float(probe(y))  # compile + warm
     logdir = f"/tmp/zoo_trace_{name}"

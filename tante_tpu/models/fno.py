@@ -148,13 +148,14 @@ class FNO(nn.Module):
     # shard for free under jit.  2-D path only.
     sp_mesh: Any = None
     dtype: jnp.dtype = jnp.float32
-    # 'wc' = channels-last (canonical); 'cw' = channel-sublane (B, H, C, W)
-    # internal layout.  Parameter trees are IDENTICAL (same init, same
+    # 'cw' = channel-sublane (B, H, C, W) internal layout (default); 'wc' =
+    # channels-last.  Parameter trees are IDENTICAL (same init, same
     # math up to einsum associativity); cw removes the 48->128 lane
-    # padding every channels-last field tensor pays at zoo geometry
+    # padding every channels-last field tensor pays at zoo geometry —
+    # measured on chip 3504 -> 4297 f/s at the zoo protocol
     # (docs/PERF.md round 5).  2-D unsharded path only — 3-D and sp_mesh
     # inputs fall back to wc.
-    layout: str = "wc"
+    layout: str = "cw"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:

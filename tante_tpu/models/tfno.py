@@ -120,7 +120,9 @@ class TFNO(nn.Module):
     gradient_checkpointing: bool = False
     output_length: int = 1
     dtype: jnp.dtype = jnp.float32
-    layout: str = "wc"  # 'cw' = channel-sublane internals (see models/fno.py)
+    # channel-sublane internals by default; measured on chip 3417 -> 4248
+    # f/s at the zoo protocol (docs/PERF.md round 5; see models/fno.py).
+    layout: str = "cw"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:

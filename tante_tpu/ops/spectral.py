@@ -97,21 +97,22 @@ def _partial_rdft2(x, mats):
     exactly that copy.  Mode-space stays f32 throughout.  Under f32
     input this is bit-identical to the original path (parity tests)."""
     fw_cos, fw_sin, fh_cos, fh_sin = mats[:4]
+    # ONE dot for both the cos and sin legs (round 5): the two legs each
+    # read the full FIELD tensor; concatenating the constant matrices on
+    # the mode axis halves the dominant HBM read — FNO-family field passes
+    # are bandwidth-bound, not MXU-bound (docs/PERF.md round 5).  The
+    # t_im sign is folded into the constants (exact).
+    m2r = fw_cos.shape[1]
+    fw = jnp.concatenate([fw_cos, -fw_sin], axis=1)  # (w, 2*m2r)
     if x.dtype == jnp.bfloat16:
         # bf16 output (not preferred_element_type=f32): XLA:CPU's DotThunk
         # rejects the mixed general dot, and on TPU the MXU accumulates in
         # f32 internally either way — only the small mode-space output is
         # rounded, below the bf16 input quantization already present.
-        t_re = jnp.einsum("bhwc,wl->bhlc", x, fw_cos.astype(x.dtype)).astype(
-            jnp.float32
-        )
-        t_im = -jnp.einsum("bhwc,wl->bhlc", x, fw_sin.astype(x.dtype)).astype(
-            jnp.float32
-        )
+        t = jnp.einsum("bhwc,wl->bhlc", x, fw.astype(x.dtype)).astype(jnp.float32)
     else:
-        xf = x.astype(jnp.float32)
-        t_re = jnp.einsum("bhwc,wl->bhlc", xf, fw_cos)
-        t_im = -jnp.einsum("bhwc,wl->bhlc", xf, fw_sin)
+        t = jnp.einsum("bhwc,wl->bhlc", x.astype(jnp.float32), fw)
+    t_re, t_im = t[:, :, :m2r], t[:, :, m2r:]
     # e^{-i theta}(a + ib) = (a cos + b sin) + i(b cos - a sin)
     xr = jnp.einsum("bhlc,hk->bklc", t_re, fh_cos) + jnp.einsum(
         "bhlc,hk->bklc", t_im, fh_sin
@@ -138,15 +139,15 @@ def _partial_irdft2(yr, yi, mats, out_dtype=jnp.float32):
         "bklc,kh->bhlc", yi, ih_cos
     )
     # y = Re{ sum_l c_l z_l e^{+2 pi i l w / W} } / sqrt(W)
+    # ONE dot for both legs (round 5): each leg WRITES a full field tensor
+    # that a subtract fusion then re-reads; concatenating [z_re, -z_im] on
+    # the (small) mode axis folds the subtract into the dot's contraction —
+    # one field-sized write instead of two writes + two reads + one write.
+    z = jnp.concatenate([z_re, -z_im], axis=-2)  # (B, H, 2*m2r, C)
+    iw = jnp.concatenate([iw_cos, iw_sin], axis=0)  # (2*m2r, w_out)
     if out_dtype == jnp.bfloat16:
-        return jnp.einsum(
-            "bhlc,lw->bhwc", z_re.astype(out_dtype), iw_cos.astype(out_dtype)
-        ) - jnp.einsum(
-            "bhlc,lw->bhwc", z_im.astype(out_dtype), iw_sin.astype(out_dtype)
-        )
-    return jnp.einsum("bhlc,lw->bhwc", z_re, iw_cos) - jnp.einsum(
-        "bhlc,lw->bhwc", z_im, iw_sin
-    )
+        return jnp.einsum("bhlc,lw->bhwc", z.astype(out_dtype), iw.astype(out_dtype))
+    return jnp.einsum("bhlc,lw->bhwc", z, iw)
 
 
 def spectral_conv2d(
@@ -314,17 +315,15 @@ def spectral_conv2d_centered_cw(
         raise ValueError(f"cw layout requires kept modes within range: {m1}, {m2r}")
     mats = _partial_rdft_mats(h, w, m1_pos, m1_neg, m2r)
     fw_cos, fw_sin, fh_cos, fh_sin, iw_cos, iw_sin, ih_cos, ih_sin = mats
+    # One-dot DFT legs, as in _partial_rdft2/_partial_irdft2 (round 5):
+    # the field-space passes are HBM-bound; concatenated constants halve
+    # the forward read and fold the inverse subtract into its dot.
+    fw = jnp.concatenate([fw_cos, -fw_sin], axis=1)  # (w, 2*m2r)
     if x.dtype == jnp.bfloat16:
-        t_re = jnp.einsum("bhcw,wl->bhcl", x, fw_cos.astype(x.dtype)).astype(
-            jnp.float32
-        )
-        t_im = -jnp.einsum("bhcw,wl->bhcl", x, fw_sin.astype(x.dtype)).astype(
-            jnp.float32
-        )
+        t = jnp.einsum("bhcw,wl->bhcl", x, fw.astype(x.dtype)).astype(jnp.float32)
     else:
-        xf = x.astype(jnp.float32)
-        t_re = jnp.einsum("bhcw,wl->bhcl", xf, fw_cos)
-        t_im = -jnp.einsum("bhcw,wl->bhcl", xf, fw_sin)
+        t = jnp.einsum("bhcw,wl->bhcl", x.astype(jnp.float32), fw)
+    t_re, t_im = t[..., :m2r], t[..., m2r:]
     xr = jnp.einsum("bhcl,hk->bkcl", t_re, fh_cos) + jnp.einsum(
         "bhcl,hk->bkcl", t_im, fh_sin
     )
@@ -345,13 +344,11 @@ def spectral_conv2d_centered_cw(
     z_im = jnp.einsum("bkol,kh->bhol", o_re, ih_sin) + jnp.einsum(
         "bkol,kh->bhol", o_im, ih_cos
     )
+    z = jnp.concatenate([z_re, -z_im], axis=-1)  # (B, H, Cout, 2*m2r)
+    iw = jnp.concatenate([iw_cos, iw_sin], axis=0)  # (2*m2r, w)
     if x.dtype == jnp.bfloat16:
-        return jnp.einsum(
-            "bhol,lw->bhow", z_re.astype(x.dtype), iw_cos.astype(x.dtype)
-        ) - jnp.einsum("bhol,lw->bhow", z_im.astype(x.dtype), iw_sin.astype(x.dtype))
-    return jnp.einsum("bhol,lw->bhow", z_re, iw_cos) - jnp.einsum(
-        "bhol,lw->bhow", z_im, iw_sin
-    )
+        return jnp.einsum("bhol,lw->bhow", z.astype(x.dtype), iw.astype(x.dtype))
+    return jnp.einsum("bhol,lw->bhow", z, iw)
 
 
 def spectral_conv3d_centered(
